@@ -1,0 +1,14 @@
+from .code import (LDPCCode, code_from_checks, code_from_dense,
+                   dense_parity_check, validate_code)
+from .ensemble import sample_check_table, sample_code, sample_codes
+
+__all__ = [
+    "LDPCCode",
+    "code_from_checks",
+    "code_from_dense",
+    "dense_parity_check",
+    "validate_code",
+    "sample_check_table",
+    "sample_code",
+    "sample_codes",
+]

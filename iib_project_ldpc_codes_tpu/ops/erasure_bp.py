@@ -1,0 +1,261 @@
+"""BEC erasure message-passing (BP) decoder.
+
+Re-designs the reference's native hot loop (message_passing.c:7-82) as an
+edge-parallel gather program:
+
+  * Check -> variable: the extrinsic message at socket j of a check is the
+    XOR of the other dc-1 incoming variable values, *valid* only when all of
+    them are known (message_passing.c:24-45).  Instead of the reference's
+    O(dc^2) leave-one-out inner loop, prefix/suffix AND (validity) and XOR
+    (parity) scans over the static socket axis compute all dc extrinsic
+    outputs in O(dc).
+  * Variable -> check: an erased variable adopts any valid incoming message
+    (message_passing.c:52-65); resolved variables never change (monotone).
+    This is a gather of edge messages via ``var_to_edge`` followed by an
+    OR-reduction -- no scatter.
+
+Termination reproduces the reference exactly but in batch form: on the BEC
+the known-set only grows, so "erasure count unchanged for one iteration" is
+a fixed point; the reference's stall shortcut (message_passing.c:16-19)
+copies the count forward and its convergence break (message_passing.c:76-78)
+leaves the remaining error entries zero.  Here a ``lax.while_loop`` runs
+until the global fixed point and the error trajectory tail is filled with
+the final count -- bitwise-identical aggregate semantics.
+
+Two implementations:
+
+  * :func:`bp_decode` -- one codeword in the {0,1,2} alphabet; the readable
+    reference/oracle path (vmap-able).
+  * :func:`bp_decode_packed` -- the production path: 32 Monte Carlo trials
+    per uint32 word, batch in the trailing (lane) dimension, all message
+    algebra as bitwise VPU ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.code import LDPCCode
+from .bitops import per_trial_counts, total_popcount
+from .channels import ERASURE
+
+
+# ---------------------------------------------------------------------------
+# Naive single-codeword implementation ({0,1,2} alphabet) -- the oracle.
+# ---------------------------------------------------------------------------
+
+def _bp_iteration(code: LDPCCode, val: jax.Array, known: jax.Array):
+    """One parallel BP round: returns updated (val, known)."""
+    row_val = val[code.chk_to_var]      # [m, dc]
+    row_kn = known[code.chk_to_var]     # [m, dc]
+    cnt = jnp.sum(row_kn, axis=1, keepdims=True)          # [m, 1]
+    xor_all = jnp.bitwise_xor.reduce(row_val & row_kn, axis=1, keepdims=True)
+    others_known = (cnt - row_kn) == (code.dc - 1)        # [m, dc]
+    mcv_val = jnp.bitwise_xor(xor_all, row_val & row_kn)  # extrinsic XOR
+
+    e_valid = others_known.reshape(-1)[code.var_to_edge]  # [n, dv]
+    e_val = mcv_val.reshape(-1)[code.var_to_edge]         # [n, dv]
+    any_valid = jnp.any(e_valid, axis=1)
+    adopt = jnp.any(e_valid & (e_val == 1), axis=1).astype(val.dtype)
+
+    new_known = known | any_valid
+    new_val = jnp.where(known, val, adopt * any_valid)
+    return new_val, new_known
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode(code: LDPCCode, channel_output: jax.Array, max_iters: int
+              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one codeword in the {0,1,2} wire format.
+
+    Returns ``(decoded, errors, iterations)`` where ``decoded`` is {0,1,2}
+    (2 = still erased), ``errors`` has length ``max_iters + 1`` with
+    ``errors[0]`` the initial erasure count and ``errors[t]`` the count
+    after round ``t`` (parallel_simulator.py:147-166 semantics: tail is the
+    stalled count for failures, zeros after convergence), and ``iterations``
+    is the number of rounds actually computed.
+    """
+    channel_output = jnp.asarray(channel_output, jnp.int32)
+    known0 = channel_output != ERASURE
+    val0 = jnp.where(known0, channel_output, 0)
+    count0 = jnp.sum(~known0).astype(jnp.int32)
+    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
+
+    def cond(carry):
+        _, _, _, it, count, changed = carry
+        return (it < max_iters) & changed & (count > 0)
+
+    def body(carry):
+        val, known, errors, it, count, _ = carry
+        val, known = _bp_iteration(code, val, known)
+        new_count = jnp.sum(~known).astype(jnp.int32)
+        errors = errors.at[it + 1].set(new_count)
+        return (val, known, errors, it + 1, new_count, new_count != count)
+
+    val, known, errors, it, count, _ = jax.lax.while_loop(
+        cond, body,
+        (val0, known0, errors, jnp.int32(0), count0, count0 > -1))
+
+    # Tail semantics: stalled count persists (message_passing.c:16-19);
+    # converged runs leave zeros (count == 0 writes zeros anyway).
+    tail = jnp.arange(max_iters + 1) > it
+    errors = jnp.where(tail, count, errors)
+    decoded = jnp.where(known, val, ERASURE)
+    return decoded, errors, it
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed batched implementation (32 trials per uint32, lanes = batch).
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedBPResult:
+    """Result of a packed batch decode of B = 32*W trials."""
+
+    val: jax.Array        # uint32[n, W] decoded bit planes (valid where known)
+    known: jax.Array      # uint32[n, W] resolved mask
+    error_totals: jax.Array  # int32[max_iters+1] erased bits summed over batch
+    iterations: jax.Array    # int32, rounds computed before fixed point
+
+    @property
+    def failed(self) -> jax.Array:
+        """bool[B]: trials with at least one unresolved erasure."""
+        unresolved = jnp.bitwise_or.reduce(~self.known, axis=0)  # [W]
+        bits = ((unresolved[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+        return bits.reshape(-1).astype(bool)
+
+    @property
+    def bit_errors(self) -> jax.Array:
+        """int32[B]: unresolved erasures per trial (final errors[-1])."""
+        return per_trial_counts(~self.known, axis=0)
+
+
+def _packed_iteration(code: LDPCCode, val: jax.Array, known: jax.Array):
+    """One parallel BP round on packed state; pure bitwise VPU ops."""
+    dc = code.dc
+    chk_flat = code.chk_to_var.reshape(-1)
+    kn = jnp.take(known, chk_flat, axis=0).reshape(code.m, dc, -1)
+    vl = jnp.take(val, chk_flat, axis=0).reshape(code.m, dc, -1)
+
+    full = jnp.uint32(0xFFFFFFFF)
+    # Prefix/suffix scans over the static socket axis: O(dc) instead of the
+    # reference's O(dc^2) leave-one-out loops (message_passing.c:30-37).
+    pre_and = [jnp.full_like(kn[:, 0], full)]
+    pre_xor = [jnp.zeros_like(vl[:, 0])]
+    for j in range(dc - 1):
+        pre_and.append(pre_and[-1] & kn[:, j])
+        pre_xor.append(pre_xor[-1] ^ vl[:, j])
+    suf_and = [jnp.full_like(kn[:, 0], full)]
+    suf_xor = [jnp.zeros_like(vl[:, 0])]
+    for j in range(dc - 1, 0, -1):
+        suf_and.append(suf_and[-1] & kn[:, j])
+        suf_xor.append(suf_xor[-1] ^ vl[:, j])
+    suf_and.reverse()
+    suf_xor.reverse()
+
+    valid = jnp.stack([pre_and[j] & suf_and[j] for j in range(dc)], axis=1)
+    mcv = jnp.stack([pre_xor[j] ^ suf_xor[j] for j in range(dc)], axis=1)
+
+    e_valid = valid.reshape(code.m * dc, -1)
+    e_val = (mcv & valid).reshape(code.m * dc, -1)
+    v2e = code.var_to_edge.reshape(-1)
+    g_valid = jnp.take(e_valid, v2e, axis=0).reshape(code.n, code.dv, -1)
+    g_val = jnp.take(e_val, v2e, axis=0).reshape(code.n, code.dv, -1)
+
+    any_valid = jnp.bitwise_or.reduce(g_valid, axis=1)
+    adopt = jnp.bitwise_or.reduce(g_val, axis=1)
+
+    new_known = known | any_valid
+    new_val = val | (adopt & ~known)
+    return new_val, new_known
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_packed(code: LDPCCode, erased: jax.Array, tx_bits: jax.Array,
+                     max_iters: int) -> PackedBPResult:
+    """Decode 32*W trials at once on one code.
+
+    Args:
+      code: the LDPC code (single code; vmap for per-trial fresh codes).
+      erased: uint32[n, W] packed erasure indicators (1 = erased), e.g. from
+        :func:`..channels.bec_packed_channel`.
+      tx_bits: uint32[n, W] packed transmitted bits (all-zero codeword ->
+        zeros, the reference default, parallel_simulator.py:222).
+      max_iters: BP iteration budget (50-200 in the reference envelope).
+    """
+    known = ~erased
+    val = tx_bits & known
+    count0 = (code.n * erased.shape[1] * 32
+              - total_popcount(known)).astype(jnp.int32)
+    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
+
+    def cond(carry):
+        _, _, _, it, count, changed = carry
+        return (it < max_iters) & changed & (count > 0)
+
+    def body(carry):
+        val, known, errors, it, count, _ = carry
+        val, known = _packed_iteration(code, val, known)
+        new_count = (code.n * erased.shape[1] * 32
+                     - total_popcount(known)).astype(jnp.int32)
+        errors = errors.at[it + 1].set(new_count)
+        return (val, known, errors, it + 1, new_count, new_count != count)
+
+    val, known, errors, it, count, _ = jax.lax.while_loop(
+        cond, body, (val, known, errors, jnp.int32(0), count0, count0 > -1))
+
+    tail = jnp.arange(max_iters + 1) > it
+    errors = jnp.where(tail, count, errors)
+    return PackedBPResult(val=val, known=known, error_totals=errors,
+                          iterations=it)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_packed_traj(code: LDPCCode, erased: jax.Array,
+                          tx_bits: jax.Array, max_iters: int
+                          ) -> Tuple[PackedBPResult, jax.Array]:
+    """Packed decode that also records *per-trial* error trajectories.
+
+    Returns ``(result, traj)`` with ``traj`` int32[max_iters+1, B]: the
+    erasure count of each trial after each iteration (reference ``errors``
+    array per trial, parallel_simulator.py:147-166).  ~32x more counting
+    work per iteration than :func:`bp_decode_packed`; used by the
+    expurgated-ensemble driver, which must exclude whole per-trial
+    trajectories based on the final count
+    (parallel_simulator_expurgated.py:238-243).
+    """
+    known = ~erased
+    val = tx_bits & known
+    B = erased.shape[1] * 32
+    count0 = per_trial_counts(~known, axis=0)  # [B]
+    traj = jnp.zeros((max_iters + 1, B), jnp.int32).at[0].set(count0)
+    total0 = jnp.sum(count0)
+
+    def cond(carry):
+        _, _, _, it, total, changed = carry
+        return (it < max_iters) & changed & (total > 0)
+
+    def body(carry):
+        val, known, traj, it, total, _ = carry
+        val, known = _packed_iteration(code, val, known)
+        counts = per_trial_counts(~known, axis=0)
+        new_total = jnp.sum(counts)
+        traj = traj.at[it + 1].set(counts)
+        return (val, known, traj, it + 1, new_total, new_total != total)
+
+    val, known, traj, it, total, _ = jax.lax.while_loop(
+        cond, body, (val, known, traj, jnp.int32(0), total0, total0 > -1))
+
+    final_counts = per_trial_counts(~known, axis=0)
+    tail = (jnp.arange(max_iters + 1) > it)[:, None]
+    traj = jnp.where(tail, final_counts[None, :], traj)
+    result = PackedBPResult(val=val, known=known,
+                            error_totals=jnp.sum(traj, axis=1),
+                            iterations=it)
+    return result, traj

@@ -1,0 +1,223 @@
+"""Batched, optionally multi-chip Monte Carlo BER/FER engine.
+
+Re-designs the reference's trial loop (parallel_simulator.py:198-244: one
+code + one codeword + one C call per Python iteration) as chunked batch
+decoding: each chunk decodes ``cfg.batch`` trials bit-packed on device, and
+the host loop applies the reference's stopping rules at chunk granularity
+(>=200 block errors / num_tests / wall clock, parallel_simulator.py:198).
+
+Sharding: one ``shard_map`` over a 1-axis device mesh; each device decodes
+``batch / n_devices`` trials with a key folded by its mesh position, and the
+integer counters (per-iteration erasure totals, block errors, bit errors)
+are ``psum``'d -- the TPU-native replacement for the reference's
+file-based shard reduction (tools/combine_data.py:32-95).
+
+Seeding: chunk c on device d uses fold_in(fold_in(key(seed), c), d), so any
+run is bit-reproducible at fixed (seed, batch, device count) -- a property
+the reference lacks (random_code_generator.c:23 ignores its seed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from datetime import datetime
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.code import LDPCCode
+from ..models.ensemble import sample_check_table
+from ..models.code import code_from_checks
+from ..ops.bitops import bernoulli_packed
+from ..ops.erasure_bp import bp_decode_packed, bp_decode_packed_traj
+from ..utils.config import SimulationConfig
+from ..utils.results import SimulationResult
+from .mesh import BATCH_AXIS, make_mesh
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ChunkStats:
+    """Device-side accumulator for one chunk of trials (all int32/int64)."""
+
+    error_totals: jax.Array   # int32[iterations+1], summed over counted trials
+    block_errors: jax.Array   # int32 scalar
+    bit_errors: jax.Array     # int32 scalar (final erasures, counted trials)
+    excluded: jax.Array       # int32 scalar (expurgation-gated trials)
+
+
+def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
+              iterations: int, erasure_prob,
+              expurgation: Optional[int]) -> ChunkStats:
+    """Decode 32*words all-zero-codeword trials on one code."""
+    erased = bernoulli_packed(key, erasure_prob, (n, words))
+    tx = jnp.zeros((n, words), jnp.uint32)
+    if expurgation is None:
+        res = bp_decode_packed(code, erased, tx, iterations)
+        return ChunkStats(
+            error_totals=res.error_totals,
+            block_errors=jnp.sum(res.failed).astype(jnp.int32),
+            bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
+            excluded=jnp.int32(0),
+        )
+    # Expurgated ensemble: drop whole trials with <= s final erasures from
+    # *all* statistics, while still counting them as trials
+    # (parallel_simulator_expurgated.py:238-243).
+    res, traj = bp_decode_packed_traj(code, erased, tx, iterations)
+    final = traj[-1]
+    include = final > expurgation
+    return ChunkStats(
+        error_totals=jnp.sum(traj * include[None, :], axis=1),
+        block_errors=jnp.sum(include & (final > 0)).astype(jnp.int32),
+        bit_errors=jnp.sum(final * include).astype(jnp.int32),
+        excluded=jnp.sum(~include).astype(jnp.int32),
+    )
+
+
+def _ensemble_chunk(key: jax.Array, *, n: int, dv: int, dc: int,
+                    num_codes: int, words_per_code: int, iterations: int,
+                    erasure_prob, expurgation: Optional[int],
+                    sampler: str) -> ChunkStats:
+    """Fresh-codes chunk: num_codes codes x 32*words_per_code trials each
+    (reference mode 0 draws a fresh code per trial,
+    parallel_simulator.py:198-221; here trials sharing a code are the 32
+    packing lanes -- set codes_per_chunk=batch/32 for one code per lane
+    group)."""
+    kc, kx = jax.random.split(key)
+    code_keys = jax.random.split(kc, num_codes)
+    noise_keys = jax.random.split(kx, num_codes)
+
+    def one(code_key, noise_key):
+        chk = sample_check_table(code_key, n, dv, dc, sampler)
+        code = code_from_checks(chk, n=n, dv=dv, dc=dc)
+        return _bp_chunk(code, noise_key, n=n, words=words_per_code,
+                         iterations=iterations, erasure_prob=erasure_prob,
+                         expurgation=expurgation)
+
+    stats = jax.vmap(one)(code_keys, noise_keys)
+    return ChunkStats(
+        error_totals=jnp.sum(stats.error_totals, axis=0),
+        block_errors=jnp.sum(stats.block_errors),
+        bit_errors=jnp.sum(stats.bit_errors),
+        excluded=jnp.sum(stats.excluded),
+    )
+
+
+def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
+                  mesh: Optional[Mesh] = None):
+    """Build the jitted (and, with a mesh, shard_mapped) chunk kernel.
+
+    Returns ``fn(key) -> ChunkStats`` decoding ``cfg.batch`` trials.
+    """
+    if cfg.channel != "BEC" or cfg.decoder not in ("bp",):
+        raise NotImplementedError(
+            "chunk kernel currently covers the BEC/BP path; ML and peeling "
+            "run through their own drivers")
+
+    n_dev = 1 if mesh is None else mesh.size
+    if cfg.batch % (32 * n_dev):
+        raise ValueError("batch must divide by 32 * n_devices")
+    words = cfg.batch // 32 // n_dev  # per-device words
+
+    if cfg.code_mode == "fixed":
+        if code is None:
+            raise ValueError("fixed code_mode requires a code")
+
+        def local_chunk(key):
+            return _bp_chunk(code, key, n=cfg.n, words=words,
+                             iterations=cfg.iterations,
+                             erasure_prob=cfg.channel_param,
+                             expurgation=cfg.expurgation)
+    else:
+        num_codes = max(cfg.codes_per_chunk // n_dev, 1)
+        wpc = max(words // num_codes, 1)
+
+        def local_chunk(key):
+            return _ensemble_chunk(key, n=cfg.n, dv=cfg.dv, dc=cfg.dc,
+                                   num_codes=num_codes, words_per_code=wpc,
+                                   iterations=cfg.iterations,
+                                   erasure_prob=cfg.channel_param,
+                                   expurgation=cfg.expurgation,
+                                   sampler=cfg.sampler)
+
+    if mesh is None:
+        return jax.jit(local_chunk)
+
+    def sharded_chunk(key):
+        def per_device(key):
+            idx = jax.lax.axis_index(BATCH_AXIS)
+            stats = local_chunk(jax.random.fold_in(key, idx))
+            return jax.tree.map(
+                lambda x: jax.lax.psum(x, BATCH_AXIS), stats)
+
+        # check_vma=False: the varying-manual-axes checker false-positives
+        # on the sampler's nonzero/fori_loop composition under vmap; the
+        # outputs are psum-reduced and genuinely replicated.
+        return jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=P(),
+            out_specs=P(),
+            check_vma=False,
+        )(key)
+
+    return jax.jit(sharded_chunk)
+
+
+def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
+                   mesh: Optional[Mesh] = None,
+                   use_all_devices: bool = False) -> SimulationResult:
+    """Run the Monte Carlo to the reference's stopping rules and reduce.
+
+    The host loop is the replacement for the reference's per-trial while
+    loop (parallel_simulator.py:198): each iteration launches one jitted
+    chunk of ``cfg.batch`` trials, accumulates host-side counters, and
+    checks the three stopping rules at chunk granularity.
+    """
+    if mesh is None and use_all_devices and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    chunk_fn = make_chunk_fn(cfg, code, mesh)
+    key = jax.random.key(cfg.seed)
+
+    start = time.time()
+    trials = 0
+    chunk_idx = 0
+    error_totals = np.zeros(cfg.iterations + 1, np.int64)
+    block_errors = bit_errors = excluded = 0
+    stopped_by = "num_tests"
+    while trials < cfg.num_tests:
+        stats = chunk_fn(jax.random.fold_in(key, chunk_idx))
+        stats = jax.device_get(stats)
+        error_totals += np.asarray(stats.error_totals, np.int64)
+        block_errors += int(stats.block_errors)
+        bit_errors += int(stats.bit_errors)
+        excluded += int(stats.excluded)
+        trials += cfg.batch
+        chunk_idx += 1
+        if block_errors >= cfg.max_block_errors:
+            stopped_by = "block_errors"
+            break
+        if time.time() - start > cfg.max_seconds:
+            stopped_by = "wall_clock"
+            break
+
+    elapsed = time.time() - start
+    denom = cfg.n * trials
+    return SimulationResult(
+        config=cfg,
+        num_trials=trials,
+        error_rate_per_iteration=(error_totals / denom).tolist(),
+        block_error_rate=block_errors / trials,
+        bit_error_rate=bit_errors / denom,
+        block_errors=block_errors,
+        bit_errors=bit_errors,
+        error_counts_per_iteration=error_totals.tolist(),
+        excluded_trials=excluded,
+        elapsed_seconds=elapsed,
+        timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
+        stopped_by=stopped_by,
+    )

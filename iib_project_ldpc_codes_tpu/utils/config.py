@@ -1,0 +1,103 @@
+"""Typed experiment configuration.
+
+Replaces the reference's positional-argv CLI (parallel_simulator.py:403-445:
+``erasure_prob num_tests iterations n dv dc mode [seed|filenumber]
+[expurgation]``) and per-machine hardcoded absolute paths
+(parallel_simulator.py:17) with one dataclass, JSON round-trippable, seeds
+mandatory.  The reference's six modes map onto (decoder x code_mode):
+
+  mode 0 -> decoder="bp",   code_mode="ensemble"
+  mode 1 -> decoder="ml",   code_mode="ensemble"
+  mode 2 -> decoder="both", code_mode="ensemble"
+  mode 3 -> decoder="bp",   code_mode="fixed"
+  mode 4 -> decoder="ml",   code_mode="fixed"
+  mode 5 -> decoder="both", code_mode="fixed"
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SimulationConfig:
+    # Channel
+    channel: str = "BEC"          # "BEC" | "BSC" | "AWGN"
+    channel_param: float = 0.4    # erasure prob / crossover prob / sigma
+
+    # Code
+    n: int = 1024
+    dv: int = 3
+    dc: int = 6
+    code_mode: str = "ensemble"   # "ensemble" (fresh code/trial) | "fixed"
+    code_number: int = 1          # fixed-code id (concentration runs)
+    sampler: str = "repair"       # "repair" | "reject"
+
+    # Decoder
+    decoder: str = "bp"           # "bp" | "ml" | "both" | "peeling"
+    iterations: int = 50          # BP budget (reference envelope 50-200)
+
+    # Stopping rules (parallel_simulator.py:198)
+    num_tests: int = 100_000
+    max_block_errors: int = 200
+    max_seconds: float = 43_000.0
+
+    # Monte Carlo execution
+    seed: int = 0
+    batch: int = 1024             # trials per chunk (multiple of 32)
+    codes_per_chunk: int = 32     # fresh codes per chunk in ensemble mode
+    expurgation: Optional[int] = None  # exclude trials with <= s final
+                                       # erasures from the statistics
+                                       # (parallel_simulator_expurgated.py:238)
+
+    # IO
+    output_dir: str = "results"
+    write_legacy_csv: bool = False
+
+    @property
+    def k(self) -> int:
+        return self.n * (self.dc - self.dv) // self.dc
+
+    def __post_init__(self):
+        if self.batch % 32:
+            raise ValueError("batch must be a multiple of 32 (bit packing)")
+        if self.channel not in ("BEC", "BSC", "AWGN"):
+            raise ValueError(f"unknown channel {self.channel!r}")
+        if self.decoder not in ("bp", "ml", "both", "peeling"):
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+        if self.code_mode not in ("ensemble", "fixed"):
+            raise ValueError(f"unknown code_mode {self.code_mode!r}")
+        if (self.n * self.dv) % self.dc:
+            raise ValueError("n*dv must be divisible by dc")
+        if self.code_mode == "ensemble" and self.batch % (32 * max(self.codes_per_chunk, 1)):
+            raise ValueError("batch must be divisible by 32*codes_per_chunk")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimulationConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def from_reference_argv(cls, argv) -> "SimulationConfig":
+        """Parse the reference's positional CLI (parallel_simulator.py:405-443)."""
+        eps, num_tests, iterations, n, dv, dc, mode = (
+            float(argv[0]), int(argv[1]), int(argv[2]), int(argv[3]),
+            int(argv[4]), int(argv[5]), int(argv[6]))
+        decoder = {0: "bp", 1: "ml", 2: "both",
+                   3: "bp", 4: "ml", 5: "both"}[mode]
+        code_mode = "ensemble" if mode < 3 else "fixed"
+        cfg = cls(channel="BEC", channel_param=eps, n=n, dv=dv, dc=dc,
+                  decoder=decoder, iterations=iterations,
+                  num_tests=num_tests, code_mode=code_mode)
+        if len(argv) > 7:
+            if code_mode == "ensemble":
+                cfg.seed = int(argv[7])
+            else:
+                cfg.code_number = int(argv[7])
+        if len(argv) > 8:
+            cfg.expurgation = int(argv[8])
+        return cfg

@@ -1,0 +1,167 @@
+"""Structured results IO + legacy CSV compatibility.
+
+The reference's metrics system is the filesystem: CSVs whose *filenames*
+encode all run parameters as ``key=value`` segments
+(parallel_simulator.py:250-269) and whose rows are per-iteration average bit
+erasure rates followed by labelled summary rows (parallel_simulator.py:26-42).
+Downstream tools parse parameters back out of filenames
+(tools/combine_data.py:15-27) and hardcode CSV line numbers -- fragile.
+
+Here the primary format is a JSON document with explicit metadata; the
+legacy CSV format (identical schema and filename encoding) is kept as an
+optional writer/reader so reference post-processing workflows keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from datetime import datetime
+from typing import List, Optional
+
+from .config import SimulationConfig
+
+
+@dataclasses.dataclass
+class SimulationResult:
+    config: SimulationConfig
+    num_trials: int
+    # Average bit erasure rate after each BP iteration (length iterations+1,
+    # index 0 = channel erasure rate), averaged over *all* trials
+    # (parallel_simulator.py:248).
+    error_rate_per_iteration: List[float]
+    block_error_rate: float
+    bit_error_rate: float
+    optimal_block_error_rate: Optional[float] = None
+    optimal_bit_error_rate: Optional[float] = None
+    # Raw counts, so shards can be re-reduced without rounding
+    # (tools/combine_data.py re-derives counts by round(rate*num*n) -- we
+    # just keep them).
+    block_errors: int = 0
+    bit_errors: int = 0
+    optimal_block_errors: Optional[int] = None
+    optimal_bit_errors: Optional[int] = None
+    error_counts_per_iteration: Optional[List[int]] = None
+    excluded_trials: int = 0  # expurgation-gated trials
+    elapsed_seconds: float = 0.0
+    timestamp: str = ""
+    stopped_by: str = ""  # "num_tests" | "block_errors" | "wall_clock"
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["config"] = dataclasses.asdict(self.config)
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimulationResult":
+        d = json.loads(s)
+        d["config"] = SimulationConfig(**d["config"])
+        return cls(**d)
+
+
+# ---------------------------------------------------------------------------
+# Filename codec (parallel_simulator.py:250-260 / tools/combine_data.py:15-27)
+# ---------------------------------------------------------------------------
+
+def encode_filename(result: SimulationResult, extension: str = ".json") -> str:
+    cfg = result.config
+    parts = ["regular_code"]
+    if cfg.expurgation is not None:
+        parts[0] += f"_expurgated={cfg.expurgation}"
+    if cfg.code_mode == "fixed":
+        parts.append(f"code_number={cfg.code_number}")
+    parts.append(f"{cfg.channel}={cfg.channel_param}")
+    parts.append(f"n={cfg.n}")
+    parts.append(f"k={cfg.k}")
+    parts.append(f"dv={cfg.dv}")
+    parts.append(f"dc={cfg.dc}")
+    if result.config.decoder in ("bp", "both"):
+        parts.append(f"it={cfg.iterations}")
+    parts.append(f"num={result.num_trials}")
+    parts.append(f"seed={cfg.seed}")
+    stamp = result.timestamp or datetime.now().strftime("%d-%m-%Y-%H-%M-%S")
+    parts.append(f"time={stamp}")
+    return "_".join(parts) + extension
+
+
+def decode_filename(filename: str) -> dict:
+    """Parse ``key=value`` filename segments (tools/combine_data.py:15-27)."""
+    base = os.path.basename(filename)
+    for ext in (".json", ".csv"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    params = {}
+    for seg in base.split("_"):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            params[k] = v
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Writers / readers
+# ---------------------------------------------------------------------------
+
+def save_result(result: SimulationResult, directory: Optional[str] = None
+                ) -> str:
+    directory = directory or result.config.output_dir
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, encode_filename(result))
+    with open(path, "w") as f:
+        f.write(result.to_json())
+    if result.config.write_legacy_csv:
+        write_legacy_csv(result, directory)
+    return path
+
+
+def load_result(path: str) -> SimulationResult:
+    with open(path) as f:
+        return SimulationResult.from_json(f.read())
+
+
+def write_legacy_csv(result: SimulationResult, directory: str) -> str:
+    """Reference CSV schema (parallel_simulator.py:26-42).
+
+    Rows 1..it+1: per-iteration average bit erasure rate; then labelled
+    rows 'Message passing block-wise error', 'Message passing bit-wise
+    error', and (if the ML decoder ran) the two 'Optimal decoding ...' rows.
+    """
+    import csv
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, encode_filename(result, ".csv"))
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        if result.config.decoder in ("bp", "both"):
+            for r in result.error_rate_per_iteration:
+                w.writerow([r])
+            w.writerow(["Message passing block-wise error",
+                        result.block_error_rate])
+            w.writerow(["Message passing bit-wise error",
+                        result.bit_error_rate])
+        if result.optimal_block_error_rate is not None:
+            w.writerow(["Optimal decoding block-wise error",
+                        result.optimal_block_error_rate])
+            w.writerow(["Optimal decoding bit-wise error",
+                        result.optimal_bit_error_rate])
+    return path
+
+
+def read_legacy_csv(path: str) -> dict:
+    """Read a reference-format CSV back into a dict of curves + summaries."""
+    import csv
+
+    curve, summary = [], {}
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            if len(row) == 1:
+                curve.append(float(row[0]))
+            else:
+                summary[row[0]] = float(row[1])
+    out = dict(summary)
+    out["error_rate_per_iteration"] = curve
+    out.update(decode_filename(path))
+    return out

@@ -1,0 +1,95 @@
+"""Sampler/structure tests: degree exactness, simplicity, reproducibility.
+
+Mirrors the reference's implicit invariants: every check touches dc distinct
+variables (random_code_generator.c:39-47), every variable has degree dv
+(socket construction), and lookups are mutually consistent
+(tools/code_checker.py:16-33).  Adds the seed-reproducibility property the
+reference lacks (random_code_generator.c:23 ignores its seed).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.models import (
+    code_from_checks, code_from_dense, dense_parity_check, sample_code,
+    sample_codes, validate_code)
+
+
+# "reject" acceptance decays like exp(-(dv-1)(dc-1)/2): fine for (3,6)
+# (~0.7%), hopeless for (4,8) (~3e-5, hits the reference's own 10000-retry
+# cap too) -- so the exact-rejection method is only exercised at (3,6).
+@pytest.mark.parametrize("method,n,dv,dc", [
+    ("reject", 24, 3, 6), ("reject", 120, 3, 6),
+    ("repair", 24, 3, 6), ("repair", 64, 4, 8), ("repair", 120, 3, 6),
+])
+def test_sampled_code_structure(method, n, dv, dc):
+    code = sample_code(jax.random.key(7), n, dv, dc, method=method)
+    ok, msg = validate_code(code)
+    assert ok, msg
+    assert code.m == n * dv // dc
+    assert code.k == n - code.m
+
+
+@pytest.mark.parametrize("method", ["reject", "repair"])
+def test_seed_reproducibility(method):
+    a = sample_code(jax.random.key(3), 48, 3, 6, method=method)
+    b = sample_code(jax.random.key(3), 48, 3, 6, method=method)
+    c = sample_code(jax.random.key(4), 48, 3, 6, method=method)
+    assert (np.asarray(a.chk_to_var) == np.asarray(b.chk_to_var)).all()
+    assert not (np.asarray(a.chk_to_var) == np.asarray(c.chk_to_var)).all()
+
+
+def test_batched_sampling_distinct_and_valid():
+    codes = sample_codes(jax.random.key(0), 8, 36, 3, 6)
+    tables = np.asarray(codes.chk_to_var)
+    assert tables.shape == (8, 18, 6)
+    # all distinct draws
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not (tables[i] == tables[j]).all()
+    for i in range(8):
+        code = code_from_checks(jnp.asarray(tables[i]), 36, 3, 6)
+        ok, msg = validate_code(code)
+        assert ok, msg
+
+
+def test_dense_roundtrip():
+    code = sample_code(jax.random.key(1), 30, 3, 6)
+    h = dense_parity_check(code)
+    assert h.shape == (15, 30)
+    assert (h.sum(axis=1) == 6).all()
+    assert (h.sum(axis=0) == 3).all()
+    code2 = code_from_dense(h)
+    # Dense form loses socket order within a row; compare sorted rows.
+    assert (np.sort(np.asarray(code.chk_to_var), axis=1)
+            == np.sort(np.asarray(code2.chk_to_var), axis=1)).all()
+
+
+def test_var_to_edge_consistency():
+    code = sample_code(jax.random.key(2), 60, 3, 6)
+    chk_flat = np.asarray(code.chk_to_var).reshape(-1)
+    v2e = np.asarray(code.var_to_edge)
+    for v in range(code.n):
+        assert (chk_flat[v2e[v]] == v).all()
+        # ascending edge ids -> reference variable_lookup ordering
+        assert (np.diff(v2e[v]) > 0).all()
+
+
+def test_degree_distribution_uniformity():
+    """Socket-matching sanity: each (check, variable) pair equally likely."""
+    n, dv, dc = 12, 3, 6
+    counts = np.zeros((n * dv // dc, n))
+    reps = 200
+    keys = jax.random.split(jax.random.key(5), reps)
+    codes = sample_codes(jax.random.key(5), reps, n, dv, dc)
+    tables = np.asarray(codes.chk_to_var)
+    for t in tables:
+        for i, row in enumerate(t):
+            for v in row:
+                counts[i, v] += 1
+    # mean occupancy = reps * dc / n = 100; loose 5-sigma band
+    mean = reps * dc / n
+    assert abs(counts.mean() - mean) < 1e-9
+    assert counts.std() < 5 * np.sqrt(mean)

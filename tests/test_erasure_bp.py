@@ -1,0 +1,181 @@
+"""Erasure-BP decoder tests.
+
+Oracle strategy follows SURVEY.md section 4: redundant implementations must
+agree (naive {0,1,2} path vs bit-packed path), BP fixed points are maximal
+stopping sets (peeling equivalence on the BEC), and error-trajectory
+bookkeeping matches the reference semantics (initial count prepended,
+stall-value tail, zero tail after convergence -- message_passing.c:16-19,
+:69-78, parallel_simulator.py:147-166).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.models import sample_code, dense_parity_check
+from iib_project_ldpc_codes_tpu.ops import BEC, ERASURE
+from iib_project_ldpc_codes_tpu.ops.bitops import pack_bits, unpack_bits
+from iib_project_ldpc_codes_tpu.ops.erasure_bp import (bp_decode,
+                                                       bp_decode_packed)
+
+
+def reference_erasure_bp(h, received, max_iters):
+    """Independent numpy oracle: textbook parallel erasure BP.
+
+    A variable is resolved when some check has all its other participants
+    resolved; its value is the XOR of theirs.  Returns (decoded, errors)
+    with the reference's error-array semantics.
+    """
+    h = np.asarray(h, bool)
+    m, n = h.shape
+    known = received != ERASURE
+    val = np.where(known, received, 0).astype(int)
+    errors = [int((~known).sum())]
+    for _ in range(max_iters):
+        if errors[-1] == 0 or (len(errors) >= 2 and errors[-1] == errors[-2]):
+            break
+        new_known = known.copy()
+        new_val = val.copy()
+        for v in range(n):
+            if known[v]:
+                continue
+            for c in np.nonzero(h[:, v])[0]:
+                others = np.nonzero(h[c])[0]
+                others = others[others != v]
+                if known[others].all():
+                    new_val[v] = val[others].sum() % 2
+                    new_known[v] = True
+                    break
+        known, val = new_known, new_val
+        errors.append(int((~known).sum()))
+    # pad with tail semantics
+    last = errors[-1]
+    while len(errors) < max_iters + 1:
+        errors.append(last if last else 0)
+    return np.where(known, val, ERASURE), np.array(errors)
+
+
+@pytest.mark.parametrize("eps", [0.2, 0.42, 0.6])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bp_matches_numpy_oracle(eps, seed):
+    n, dv, dc, iters = 48, 3, 6, 30
+    code = sample_code(jax.random.key(seed), n, dv, dc)
+    h = dense_parity_check(code)
+    ch = BEC(eps)
+    rx = np.asarray(ch.transmit(jax.random.key(seed + 100),
+                                jnp.zeros(n, jnp.int32)))
+    want_dec, want_err = reference_erasure_bp(h, rx, iters)
+    got_dec, got_err, _ = bp_decode(code, jnp.asarray(rx), iters)
+    assert (np.asarray(got_dec) == want_dec).all()
+    assert (np.asarray(got_err) == want_err).all()
+
+
+def test_bp_nonzero_codeword():
+    """General codewords: erased bits recover the true transmitted bits."""
+    n, dv, dc = 60, 3, 6
+    code = sample_code(jax.random.key(3), n, dv, dc)
+    h = dense_parity_check(code).astype(int)
+    # Build a valid codeword: solve H x = 0 by brute force over random
+    # vectors projected... simpler: use all-zero flipped on a codeword from
+    # the dual -- instead find a valid codeword via nullspace over GF(2).
+    import itertools
+    # gaussian elimination over GF(2) to find one nonzero codeword
+    hh = h.copy() % 2
+    nrows, ncols = hh.shape
+    piv_cols = []
+    r = 0
+    for c in range(ncols):
+        rows = [i for i in range(r, nrows) if hh[i, c]]
+        if not rows:
+            continue
+        hh[[r, rows[0]]] = hh[[rows[0], r]]
+        for i in range(nrows):
+            if i != r and hh[i, c]:
+                hh[i] ^= hh[r]
+        piv_cols.append(c)
+        r += 1
+    free = [c for c in range(ncols) if c not in piv_cols]
+    assert free, "code has no free variables?"
+    x = np.zeros(ncols, int)
+    x[free[0]] = 1
+    for i, c in enumerate(piv_cols):
+        x[c] = (hh[i] @ x - hh[i, c] * x[c]) % 2
+    assert (h @ x % 2 == 0).all()
+
+    rx = np.asarray(BEC(0.3).transmit(jax.random.key(9), jnp.asarray(x)))
+    dec, _, _ = bp_decode(code, jnp.asarray(rx), 40)
+    dec = np.asarray(dec)
+    resolved = dec != ERASURE
+    assert (dec[resolved] == x[resolved]).all()
+
+
+@pytest.mark.parametrize("eps", [0.3, 0.42, 0.55])
+def test_packed_matches_naive(eps):
+    n, dv, dc, iters, W = 96, 3, 6, 50, 2
+    B = 32 * W
+    code = sample_code(jax.random.key(5), n, dv, dc)
+    ch = BEC(eps)
+    mask_bits = np.asarray(ch.erasure_mask(jax.random.key(6), (n, B)))
+    erased = pack_bits(jnp.asarray(mask_bits))
+    tx = jnp.zeros((n, W), jnp.uint32)
+    res = bp_decode_packed(code, erased, tx, iters)
+
+    total_err = np.zeros(iters + 1, np.int64)
+    failed = np.zeros(B, bool)
+    bit_errors = np.zeros(B, np.int64)
+    for b in range(B):
+        rx = np.where(mask_bits[:, b], ERASURE, 0)
+        _, err, _ = bp_decode(code, jnp.asarray(rx), iters)
+        err = np.asarray(err)
+        total_err += err
+        failed[b] = err[-1] != 0
+        bit_errors[b] = err[-1]
+    assert (np.asarray(res.error_totals) == total_err).all()
+    assert (np.asarray(res.failed) == failed).all()
+    assert (np.asarray(res.bit_errors) == bit_errors).all()
+
+
+def test_packed_decodes_true_bits():
+    """Packed decoder on random transmitted words: resolved planes match."""
+    n, dv, dc, W = 48, 3, 6, 1
+    code = sample_code(jax.random.key(11), n, dv, dc)
+    # transmit the all-one word's syndrome-free cousin: use all-zero and
+    # all-... instead pack 32 random *valid* codewords? Use zero codeword
+    # in half the lanes and check val bits stay zero there.
+    mask = BEC(0.35).erasure_mask(jax.random.key(12), (n, 32))
+    erased = pack_bits(mask)
+    tx = jnp.zeros((n, W), jnp.uint32)
+    res = bp_decode_packed(code, erased, tx, 50)
+    # all-zero transmit: every resolved value bit must be zero
+    assert int(jnp.sum(res.val & res.known)) == 0
+
+
+def test_error_array_tail_semantics():
+    """Converged -> zero tail; stalled -> constant tail; errors[0] initial."""
+    n, dv, dc = 48, 3, 6
+    code = sample_code(jax.random.key(13), n, dv, dc)
+    # low eps: should converge
+    rx = BEC(0.1).transmit(jax.random.key(14), jnp.zeros(n, jnp.int32))
+    _, err, it = bp_decode(code, rx, 30)
+    err = np.asarray(err)
+    assert err[0] == int(np.sum(np.asarray(rx) == ERASURE))
+    assert err[-1] == 0
+    # high eps: should stall at a positive value
+    rx = BEC(0.8).transmit(jax.random.key(15), jnp.zeros(n, jnp.int32))
+    _, err, it = bp_decode(code, rx, 30)
+    err = np.asarray(err)
+    assert err[-1] > 0
+    assert err[-1] == err[-2]  # constant tail
+
+
+def test_monotonicity_and_fixed_point():
+    """Erasure count non-increasing; running further never changes result."""
+    n, dv, dc = 72, 3, 6
+    code = sample_code(jax.random.key(17), n, dv, dc)
+    rx = BEC(0.45).transmit(jax.random.key(18), jnp.zeros(n, jnp.int32))
+    dec1, err1, _ = bp_decode(code, rx, 25)
+    dec2, err2, _ = bp_decode(code, rx, 100)
+    err1, err2 = np.asarray(err1), np.asarray(err2)
+    assert (np.diff(err1) <= 0).all()
+    assert (np.asarray(dec1) == np.asarray(dec2)).all()

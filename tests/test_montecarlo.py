@@ -1,0 +1,137 @@
+"""Monte Carlo engine tests: counters, stopping rules, sharding, expurgation."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.models import sample_code
+from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+from iib_project_ldpc_codes_tpu.parallel.montecarlo import (make_chunk_fn,
+                                                            run_simulation)
+from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+from iib_project_ldpc_codes_tpu.utils.results import (decode_filename,
+                                                      encode_filename,
+                                                      load_result,
+                                                      read_legacy_csv,
+                                                      save_result)
+
+
+def small_cfg(**kw):
+    base = dict(channel="BEC", channel_param=0.42, n=96, dv=3, dc=6,
+                decoder="bp", iterations=30, num_tests=2048, batch=512,
+                max_block_errors=10**9, seed=7, code_mode="fixed")
+    base.update(kw)
+    return SimulationConfig(**base)
+
+
+def test_fixed_code_counters_consistent():
+    cfg = small_cfg()
+    code = sample_code(jax.random.key(1), cfg.n, cfg.dv, cfg.dc)
+    res = run_simulation(cfg, code=code)
+    assert res.num_trials == 2048
+    # error_rate[0] should be close to the channel erasure rate
+    assert abs(res.error_rate_per_iteration[0] - 0.42) < 0.02
+    # block errors <=> nonzero final erasures; bit error rate consistency
+    assert res.bit_error_rate == res.bit_errors / (cfg.n * res.num_trials)
+    assert res.error_rate_per_iteration[-1] == pytest.approx(
+        res.bit_errors / (cfg.n * res.num_trials))
+    assert 0 <= res.block_error_rate <= 1
+    # monotone average trajectory
+    assert (np.diff(res.error_rate_per_iteration) <= 1e-12).all()
+
+
+def test_reproducibility_same_seed():
+    cfg = small_cfg()
+    code = sample_code(jax.random.key(1), cfg.n, cfg.dv, cfg.dc)
+    r1 = run_simulation(cfg, code=code)
+    r2 = run_simulation(cfg, code=code)
+    assert r1.error_counts_per_iteration == r2.error_counts_per_iteration
+    assert r1.block_errors == r2.block_errors
+
+
+def test_block_error_early_stop():
+    cfg = small_cfg(channel_param=0.48, max_block_errors=20,
+                    num_tests=10**6, batch=256)
+    code = sample_code(jax.random.key(2), cfg.n, cfg.dv, cfg.dc)
+    res = run_simulation(cfg, code=code)
+    assert res.stopped_by == "block_errors"
+    assert res.block_errors >= 20
+    assert res.num_trials < 10**6
+
+
+def test_ensemble_mode_runs():
+    cfg = small_cfg(code_mode="ensemble", codes_per_chunk=4, batch=256,
+                    num_tests=256)
+    res = run_simulation(cfg)
+    assert res.num_trials == 256
+    assert abs(res.error_rate_per_iteration[0] - 0.42) < 0.05
+
+
+def test_expurgation_excludes_trials():
+    cfg = small_cfg(channel_param=0.45, expurgation=0, num_tests=512,
+                    batch=512)
+    code = sample_code(jax.random.key(3), cfg.n, cfg.dv, cfg.dc)
+    res = run_simulation(cfg, code=code)
+    cfg_plain = small_cfg(channel_param=0.45, num_tests=512, batch=512)
+    res_plain = run_simulation(cfg_plain, code=code)
+    # expurgation=0 excludes exactly the successful trials
+    assert res.excluded_trials == 512 - res_plain.block_errors
+    # block/bit errors are unchanged (only successful trials are dropped)
+    assert res.block_errors == res_plain.block_errors
+    assert res.bit_errors == res_plain.bit_errors
+    # the iteration-0 average now counts only failing trials' erasures
+    assert res.error_counts_per_iteration[0] <= \
+        res_plain.error_counts_per_iteration[0]
+
+
+def test_sharded_matches_single_device():
+    """psum'd multi-device chunk == single-device chunk with matched keys.
+
+    Exact equality is not expected (different per-device key folds), but
+    statistics must agree; and determinism across repeated sharded runs must
+    be exact.
+    """
+    cfg = small_cfg(batch=512, num_tests=512)
+    code = sample_code(jax.random.key(1), cfg.n, cfg.dv, cfg.dc)
+    mesh = make_mesh()
+    assert mesh.size == 8, "conftest should provide 8 virtual cpu devices"
+    r1 = run_simulation(cfg, code=code, mesh=mesh)
+    r2 = run_simulation(cfg, code=code, mesh=mesh)
+    assert r1.error_counts_per_iteration == r2.error_counts_per_iteration
+    r_single = run_simulation(cfg, code=code)
+    assert abs(r1.error_rate_per_iteration[0]
+               - r_single.error_rate_per_iteration[0]) < 0.02
+    assert r1.num_trials == r_single.num_trials
+
+
+def test_result_roundtrip(tmp_path):
+    cfg = small_cfg(num_tests=256, batch=256, output_dir=str(tmp_path),
+                    write_legacy_csv=True)
+    code = sample_code(jax.random.key(1), cfg.n, cfg.dv, cfg.dc)
+    res = run_simulation(cfg, code=code)
+    path = save_result(res)
+    loaded = load_result(path)
+    assert loaded.block_errors == res.block_errors
+    assert loaded.config.n == cfg.n
+    params = decode_filename(path)
+    assert params["n"] == "96" and params["BEC"] == "0.42"
+    csvs = [p for p in tmp_path.iterdir() if p.suffix == ".csv"]
+    assert len(csvs) == 1
+    legacy = read_legacy_csv(str(csvs[0]))
+    assert legacy["Message passing block-wise error"] == \
+        pytest.approx(res.block_error_rate)
+    assert len(legacy["error_rate_per_iteration"]) == cfg.iterations + 1
+
+
+def test_reference_argv_parsing():
+    cfg = SimulationConfig.from_reference_argv(
+        ["0.42", "10000", "200", "1024", "3", "6", "0", "99"])
+    assert cfg.channel_param == 0.42 and cfg.decoder == "bp"
+    assert cfg.code_mode == "ensemble" and cfg.seed == 99
+    cfg5 = SimulationConfig.from_reference_argv(
+        ["0.4", "1000", "50", "512", "3", "6", "5", "3"])
+    assert cfg5.decoder == "both" and cfg5.code_mode == "fixed"
+    assert cfg5.code_number == 3
