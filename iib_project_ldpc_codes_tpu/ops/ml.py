@@ -1,0 +1,145 @@
+"""Maximum-likelihood (optimal) BEC decoder via GF(2) elimination.
+
+Reference pipeline: ml_decoder.c:7-36 splits H by the erasure pattern
+(erased columns -> the unknowns' system matrix; known columns -> syndrome
+accumulation ``target[j] ^= bit & H[j][i]``), then parallel_simulator.py:60-129
+row-reduces over GF(2) with the ``galois`` package and iteratively prunes
+unsolvable pivot columns.
+
+Re-design: one bit-packed (64 columns/uint64) Gauss-Jordan elimination of
+the augmented system [H_e | s]; an erased bit is ML-determined iff its pivot
+row has no support on free columns -- the exact per-bit marginalisation the
+reference's prune loop approximates.  Undetermined bits remain ERASURE
+(= 2), matching the reference's output convention
+(parallel_simulator.py:115-127).  Host-side numpy: ML decoding is the
+small-n optimality oracle (O(n^3)), not the throughput path (SURVEY.md
+native-component summary item 3).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..models.code import LDPCCode, dense_parity_check
+from .channels import ERASURE
+
+_WORD = 64
+
+
+def _pack_rows(mat: np.ndarray) -> np.ndarray:
+    """bool[m, c] -> uint64[m, ceil(c/64)], bit j of word w = column 64w+j."""
+    m, c = mat.shape
+    nw = (c + _WORD - 1) // _WORD
+    padded = np.zeros((m, nw * _WORD), dtype=bool)
+    padded[:, :c] = mat
+    weights = (1 << np.arange(_WORD, dtype=np.uint64))
+    return (padded.reshape(m, nw, _WORD).astype(np.uint64) * weights).sum(
+        axis=2, dtype=np.uint64)
+
+
+def _get_col(packed: np.ndarray, j: int) -> np.ndarray:
+    return (packed[:, j // _WORD] >> np.uint64(j % _WORD)) & np.uint64(1)
+
+
+def gf2_row_reduce(aug: np.ndarray, num_cols: int
+                   ) -> Tuple[np.ndarray, list]:
+    """In-place bit-packed Gauss-Jordan; returns (reduced, pivot_cols).
+
+    ``aug`` is uint64[m, words]; only the first ``num_cols`` columns are
+    eligible pivots (the trailing column(s) are the augmented syndrome).
+    """
+    m = aug.shape[0]
+    pivots = []
+    r = 0
+    for c in range(num_cols):
+        if r >= m:
+            break
+        col = _get_col(aug, c)
+        hot = np.nonzero(col[r:])[0]
+        if hot.size == 0:
+            continue
+        p = r + hot[0]
+        if p != r:
+            aug[[r, p]] = aug[[p, r]]
+        # eliminate everywhere else (Gauss-Jordan)
+        col = _get_col(aug, c).astype(bool)
+        col[r] = False
+        aug[col] ^= aug[r]
+        pivots.append(c)
+        r += 1
+    return aug, pivots
+
+
+def ml_decode(code: LDPCCode, channel_output: np.ndarray,
+              h: np.ndarray | None = None) -> np.ndarray:
+    """Optimal per-bit BEC decode of one word in the {0,1,2} format.
+
+    Trivial-case behaviour matches the reference: 0 erasures or more
+    erasures than parity checks -> return the input unchanged
+    (parallel_simulator.py:66-69).
+    """
+    rx = np.asarray(channel_output, int)
+    erased = rx == ERASURE
+    e = int(erased.sum())
+    if e == 0 or e > code.m:
+        return rx.copy()
+    if h is None:
+        h = dense_parity_check(code)
+    h = np.asarray(h, bool)
+
+    # Syndrome of the known bits (ml_decoder.c:19-23)
+    known_cols = h[:, ~erased]
+    known_bits = rx[~erased].astype(bool)
+    syndrome = (known_cols @ known_bits) % 2
+
+    sub = h[:, erased]                       # [m, e]
+    aug = np.concatenate([sub, syndrome[:, None].astype(bool)], axis=1)
+    packed = _pack_rows(aug)
+    packed, pivots = gf2_row_reduce(packed, e)
+
+    # free-column mask at the same packed width as the augmented matrix
+    # (e columns + 1 syndrome column; the syndrome bit stays masked out)
+    nw = packed.shape[1]
+    free = np.zeros(nw * _WORD, dtype=bool)
+    free[:e] = True
+    free[pivots] = False
+    free_mask = _pack_rows(free[None, :])[0]
+
+    values = np.full(e, ERASURE, dtype=int)
+    for r, c in enumerate(pivots):
+        row = packed[r]
+        if np.any(row & free_mask):
+            continue  # depends on a free variable: not determined
+        values[c] = int(_get_col(packed[r:r + 1], e)[0])
+
+    out = rx.copy()
+    out[np.nonzero(erased)[0]] = values
+    return out
+
+
+def ml_decode_batch(code: LDPCCode, channel_outputs: np.ndarray
+                    ) -> np.ndarray:
+    h = dense_parity_check(code)
+    return np.stack([ml_decode(code, rx, h) for rx in channel_outputs])
+
+
+def ml_block_success(code: LDPCCode, erasure_mask: np.ndarray,
+                     h: np.ndarray | None = None) -> bool:
+    """Fast block-level ML verdict: full recovery iff rank(H_e) == e.
+
+    (Bit-level stats need :func:`ml_decode`; the rank test is enough for
+    block error rates and is ~2x faster.)
+    """
+    erased = np.asarray(erasure_mask, bool)
+    e = int(erased.sum())
+    if e == 0:
+        return True
+    if e > code.m:
+        return False
+    if h is None:
+        h = dense_parity_check(code)
+    packed = _pack_rows(h[:, erased])
+    _, pivots = gf2_row_reduce(packed, e)
+    return len(pivots) == e

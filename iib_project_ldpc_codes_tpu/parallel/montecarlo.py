@@ -168,6 +168,147 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
     return jax.jit(sharded_chunk)
 
 
+def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
+                    ) -> SimulationResult:
+    """Host-path driver for the ML (optimal) decoder, optionally alongside
+    BP on the *same* channel outputs (reference modes 1/2/4/5,
+    parallel_simulator.py:233-242: both decoders see one transmission).
+
+    ML is the small-n optimality oracle (O(n^3) per trial); trials run in
+    modest device batches for the channel + BP and per-trial on host for
+    the GF(2) elimination.
+    """
+    from ..models.ensemble import sample_code as _sample_code
+    from ..ops.bitops import pack_bits
+    from ..ops.ml import ml_decode
+    from ..models.code import dense_parity_check
+
+    run_bp = cfg.decoder == "both"
+    key = jax.random.key(cfg.seed)
+    start = time.time()
+    trials = chunk_idx = 0
+    error_totals = np.zeros(cfg.iterations + 1, np.int64)
+    block_errors = bit_errors = 0
+    opt_block = opt_bit = 0
+    stopped_by = "num_tests"
+    batch = min(cfg.batch, 512)
+    batch -= batch % 32
+
+    fixed_h = dense_parity_check(code) if (code is not None
+                                           and cfg.code_mode == "fixed") else None
+
+    while trials < cfg.num_tests:
+        ck = jax.random.fold_in(key, chunk_idx)
+        k_code, k_noise = jax.random.split(ck)
+        masks = np.asarray(jax.random.uniform(k_noise, (batch, cfg.n))
+                           < cfg.channel_param)
+        if cfg.code_mode == "fixed":
+            codes = [code] * batch
+            hs = [fixed_h] * batch
+        else:
+            codes = [_sample_code(jax.random.fold_in(k_code, i), cfg.n,
+                                  cfg.dv, cfg.dc, cfg.sampler)
+                     for i in range(batch)]
+            hs = [dense_parity_check(c) for c in codes]
+
+        for i in range(batch):
+            rx = np.where(masks[i], 2, 0)
+            dec = ml_decode(codes[i], rx, hs[i])
+            e = int((dec == 2).sum())
+            if e > 0:
+                opt_block += 1
+            opt_bit += e
+
+        if run_bp:
+            if cfg.code_mode == "fixed":
+                erased = pack_bits(jnp.asarray(masks.T))
+                tx = jnp.zeros_like(erased)
+                res = bp_decode_packed(code, erased, tx, cfg.iterations)
+                error_totals += np.asarray(res.error_totals, np.int64)
+                block_errors += int(jnp.sum(res.failed))
+                bit_errors += int(jnp.sum(res.bit_errors))
+            else:
+                for i in range(batch):
+                    rx = jnp.asarray(np.where(masks[i], 2, 0))
+                    from ..ops.erasure_bp import bp_decode
+                    _, errs, _ = bp_decode(codes[i], rx, cfg.iterations)
+                    errs = np.asarray(errs)
+                    error_totals += errs
+                    block_errors += int(errs[-1] != 0)
+                    bit_errors += int(errs[-1])
+
+        trials += batch
+        chunk_idx += 1
+        stop_counter = block_errors if run_bp else opt_block
+        if stop_counter >= cfg.max_block_errors:
+            stopped_by = "block_errors"
+            break
+        if time.time() - start > cfg.max_seconds:
+            stopped_by = "wall_clock"
+            break
+
+    elapsed = time.time() - start
+    denom = cfg.n * trials
+    return SimulationResult(
+        config=cfg, num_trials=trials,
+        error_rate_per_iteration=(error_totals / denom).tolist(),
+        block_error_rate=block_errors / trials,
+        bit_error_rate=bit_errors / denom,
+        optimal_block_error_rate=opt_block / trials,
+        optimal_bit_error_rate=opt_bit / denom,
+        block_errors=block_errors, bit_errors=bit_errors,
+        optimal_block_errors=opt_block, optimal_bit_errors=opt_bit,
+        error_counts_per_iteration=error_totals.tolist(),
+        elapsed_seconds=elapsed,
+        timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
+        stopped_by=stopped_by)
+
+
+def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
+                 ) -> SimulationResult:
+    """Monte Carlo with the peeling decoder (sequential R-process decode;
+    the reference runs this only in its standalone experiment,
+    peeling_decoder.py:136-168 -- here it is a first-class decoder)."""
+    from ..ops.channels import BEC
+    from ..ops.peeling import peel_decode_batch
+
+    if code is None:
+        raise ValueError("peeling driver requires a fixed code")
+    key = jax.random.key(cfg.seed)
+    start = time.time()
+    trials = chunk_idx = 0
+    block_errors = bit_errors = 0
+    stopped_by = "num_tests"
+    ch = BEC(cfg.channel_param)
+    batch = min(cfg.batch, 1024)
+    while trials < cfg.num_tests:
+        ck = jax.random.fold_in(key, chunk_idx)
+        k_noise, k_peel = jax.random.split(ck)
+        rxs = ch.transmit(k_noise, jnp.zeros((batch, cfg.n), jnp.int32))
+        res = peel_decode_batch(code, rxs, k_peel)
+        remaining = np.asarray(jax.vmap(lambda u: jnp.sum(u))(res.unresolved))
+        block_errors += int((remaining > 0).sum())
+        bit_errors += int(remaining.sum())
+        trials += batch
+        chunk_idx += 1
+        if block_errors >= cfg.max_block_errors:
+            stopped_by = "block_errors"
+            break
+        if time.time() - start > cfg.max_seconds:
+            stopped_by = "wall_clock"
+            break
+    elapsed = time.time() - start
+    return SimulationResult(
+        config=cfg, num_trials=trials,
+        error_rate_per_iteration=[],
+        block_error_rate=block_errors / trials,
+        bit_error_rate=bit_errors / (cfg.n * trials),
+        block_errors=block_errors, bit_errors=bit_errors,
+        elapsed_seconds=elapsed,
+        timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
+        stopped_by=stopped_by)
+
+
 def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                    mesh: Optional[Mesh] = None,
                    use_all_devices: bool = False) -> SimulationResult:
@@ -178,6 +319,10 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     chunk of ``cfg.batch`` trials, accumulates host-side counters, and
     checks the three stopping rules at chunk granularity.
     """
+    if cfg.decoder in ("ml", "both"):
+        return _run_ml_or_both(cfg, code)
+    if cfg.decoder == "peeling":
+        return _run_peeling(cfg, code)
     if mesh is None and use_all_devices and len(jax.devices()) > 1:
         mesh = make_mesh()
     chunk_fn = make_chunk_fn(cfg, code, mesh)

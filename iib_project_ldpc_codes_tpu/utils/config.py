@@ -71,8 +71,12 @@ class SimulationConfig:
             raise ValueError(f"unknown code_mode {self.code_mode!r}")
         if (self.n * self.dv) % self.dc:
             raise ValueError("n*dv must be divisible by dc")
-        if self.code_mode == "ensemble" and self.batch % (32 * max(self.codes_per_chunk, 1)):
-            raise ValueError("batch must be divisible by 32*codes_per_chunk")
+        if self.code_mode == "ensemble":
+            # clamp so every chunk divides evenly into >= 32-trial groups
+            self.codes_per_chunk = max(min(self.codes_per_chunk,
+                                           self.batch // 32), 1)
+            while self.batch % (32 * self.codes_per_chunk):
+                self.codes_per_chunk -= 1
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -1,0 +1,127 @@
+"""ML decoder tests: brute-force marginal oracle + BP dominance.
+
+The brute-force oracle enumerates ALL solutions of the erased subsystem; a
+bit is ML-determined iff it takes the same value in every solution -- the
+exact definition our elimination must reproduce.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.models import dense_parity_check, sample_code
+from iib_project_ldpc_codes_tpu.ops import BEC, ERASURE
+from iib_project_ldpc_codes_tpu.ops.erasure_bp import bp_decode
+from iib_project_ldpc_codes_tpu.ops.ml import (gf2_row_reduce, ml_block_success,
+                                               ml_decode, ml_decode_batch)
+
+
+def brute_force_marginals(h, rx):
+    """Enumerate solutions of H_e z = s; determined bits = constant bits."""
+    h = np.asarray(h, int)
+    rx = np.asarray(rx, int)
+    erased = rx == ERASURE
+    e = int(erased.sum())
+    s = (h[:, ~erased] @ rx[~erased]) % 2
+    sub = h[:, erased]
+    sols = []
+    for bits in itertools.product([0, 1], repeat=e):
+        z = np.array(bits)
+        if ((sub @ z) % 2 == s).all():
+            sols.append(z)
+    sols = np.array(sols)
+    assert len(sols) > 0, "true codeword must be a solution"
+    out = rx.copy()
+    vals = np.where((sols == sols[0]).all(axis=0), sols[0], ERASURE)
+    out[erased] = vals
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ml_matches_brute_force(seed):
+    n = 24
+    code = sample_code(jax.random.key(seed), n, 3, 6)
+    h = dense_parity_check(code)
+    rx = np.asarray(BEC(0.45).transmit(jax.random.key(100 + seed),
+                                       jnp.zeros(n, jnp.int32)))
+    if (rx == ERASURE).sum() > 14:  # keep brute force cheap
+        rx[np.nonzero(rx == ERASURE)[0][14:]] = 0
+    want = brute_force_marginals(h, rx)
+    got = ml_decode(code, rx)
+    assert (got == want).all()
+
+
+def test_trivial_cases():
+    n = 24
+    code = sample_code(jax.random.key(1), n, 3, 6)
+    rx = np.zeros(n, int)
+    assert (ml_decode(code, rx) == rx).all()       # no erasures
+    rx2 = np.full(n, ERASURE)
+    assert (ml_decode(code, rx2) == rx2).all()     # e > m: bail unchanged
+
+
+@pytest.mark.parametrize("eps", [0.3, 0.42])
+def test_ml_dominates_bp(eps):
+    """Every bit BP resolves, ML must also resolve, with the same value."""
+    n = 48
+    code = sample_code(jax.random.key(2), n, 3, 6)
+    for i in range(5):
+        rx = np.asarray(BEC(eps).transmit(jax.random.key(10 + i),
+                                          jnp.zeros(n, jnp.int32)))
+        bp_dec = np.asarray(bp_decode(code, jnp.asarray(rx), 100)[0])
+        ml_dec = ml_decode(code, rx)
+        bp_resolved = bp_dec != ERASURE
+        if (rx == ERASURE).sum() > code.m:
+            continue
+        assert (ml_dec[bp_resolved] == bp_dec[bp_resolved]).all()
+        # ML resolves a superset of BP's bits
+        assert not np.any((ml_dec == ERASURE) & bp_resolved)
+
+
+def test_all_zero_transmit_resolves_to_zero():
+    n = 48
+    code = sample_code(jax.random.key(3), n, 3, 6)
+    rx = np.asarray(BEC(0.35).transmit(jax.random.key(4),
+                                       jnp.zeros(n, jnp.int32)))
+    dec = ml_decode(code, rx)
+    assert set(np.unique(dec)) <= {0, ERASURE}
+
+
+def test_block_success_consistent_with_decode():
+    n = 36
+    code = sample_code(jax.random.key(5), n, 3, 6)
+    for i in range(10):
+        rx = np.asarray(BEC(0.4).transmit(jax.random.key(20 + i),
+                                          jnp.zeros(n, jnp.int32)))
+        erased = rx == ERASURE
+        dec = ml_decode(code, rx)
+        full = not np.any(dec == ERASURE)
+        assert ml_block_success(code, erased) == full
+
+
+def test_batch_decode():
+    n = 36
+    code = sample_code(jax.random.key(6), n, 3, 6)
+    rxs = np.stack([
+        np.asarray(BEC(0.4).transmit(jax.random.key(30 + i),
+                                     jnp.zeros(n, jnp.int32)))
+        for i in range(4)])
+    decs = ml_decode_batch(code, rxs)
+    assert decs.shape == (4, n)
+    for i in range(4):
+        assert (decs[i] == ml_decode(code, rxs[i])).all()
+
+
+def test_gf2_row_reduce_identity():
+    rng = np.random.default_rng(0)
+    a = rng.random((8, 8)) < 0.5
+    from iib_project_ldpc_codes_tpu.ops.ml import _pack_rows
+    aug = _pack_rows(a)
+    red, pivots = gf2_row_reduce(aug.copy(), 8)
+    # pivot columns have exactly one 1 (Gauss-Jordan)
+    for r, c in enumerate(pivots):
+        col = ((red[:, c // 64] >> np.uint64(c % 64)) & np.uint64(1))
+        assert col.sum() == 1 and col[r] == 1

@@ -1,0 +1,121 @@
+"""Theory-module regression anchors (BASELINE.md analytic constants)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.utils import theory
+
+
+def test_threshold_3_6():
+    # BASELINE.md: eps*(3,6) ~= 0.4294375 (bisection to 1e-9)
+    thr = theory.calc_threshold(3, 6)
+    assert abs(thr - 0.4294375) < 2e-5
+
+
+def test_threshold_4_8():
+    # BASELINE.md: eps*(4,8) ~= 0.3834453
+    thr = theory.calc_threshold(4, 8)
+    assert abs(thr - 0.3834453) < 2e-5
+
+
+def test_below_threshold_boundaries():
+    assert theory.below_threshold(0.42, 3, 6)
+    assert not theory.below_threshold(0.43, 3, 6)
+    assert theory.below_threshold(0.38, 4, 8)
+    assert not theory.below_threshold(0.39, 4, 8)
+
+
+def test_alpha_and_fixed_points_3_6():
+    # BASELINE.md: alpha ~= 0.5595, y* ~= 0.7799, x* ~= 0.2612
+    thr = theory.calc_threshold(3, 6)
+    y = theory.threshold_y(thr, 3, 6)
+    x = theory.threshold_x(thr, 3, 6)
+    assert abs(y - 0.7799) < 1e-3
+    assert abs(x - 0.2612) < 1e-3
+    assert abs(theory.calculate_alpha(thr, 3, 6) - 0.5595) < 1e-3
+
+
+def test_density_evolution_behaviour():
+    # below threshold: decays to ~0; above: converges to positive fixpoint
+    below = theory.density_evolution(0.40, 2000, 3, 6)
+    above = theory.density_evolution(0.45, 2000, 3, 6)
+    assert below[-1] < 1e-3 or len(below) < 2001
+    assert above[-1] > 0.1
+    # first element is the channel erasure probability
+    assert below[0] == 0.40
+    # monotone decreasing
+    assert all(b1 >= b2 for b1, b2 in zip(below, below[1:]))
+
+
+def test_modified_de_tracks_bit_erasure():
+    curve = theory.modified_density_evolution(0.3, 11, 3, 6, 2e-50)
+    # bit-erasure exponent dv vs edge exponent dv-1: bit curve sits below
+    edge = theory.density_evolution(0.3, 11, 3, 6)
+    assert curve[1] < edge[1]
+    # reproduce the recursion by hand for the first step
+    inner = 1 - (1 - 0.3) ** 5
+    assert curve[1] == pytest.approx(0.3 * inner ** 3)
+
+
+def test_finite_length_de_shift():
+    shifted = theory.finite_length_density_evolution(0.4, 15, 100, 3, 6,
+                                                     1e-10)
+    assert shifted[0] == pytest.approx(0.4 + theory.BETA_3_6 * 100 ** (-2 / 3))
+
+
+def test_waterfall_shape():
+    eps = np.linspace(0.32, 0.5, 50)
+    p1k = theory.waterfall_block_error(1000, eps)
+    p5k = theory.waterfall_block_error(5000, eps)
+    thr = theory.calc_threshold(3, 6)
+    # P ~ 1/2 at threshold; steeper for larger n; monotone in eps
+    i_thr = np.argmin(np.abs(eps - thr))
+    assert abs(p1k[i_thr] - 0.5) < 0.05
+    assert (np.diff(p1k) > 0).all()
+    assert p5k[0] < p1k[0] and p5k[-1] > p1k[-1] - 1e-12
+
+
+def test_critical_point():
+    # Anchor: running the reference's test_critical_point_calculator.py
+    # prints calculate_crit_epsilon(3,6) = 0.3747712850570679 (the eps where
+    # the tangency fixed point first becomes positive).
+    crit_eps = theory.calculate_crit_epsilon(3, 6)
+    assert abs(crit_eps - 0.3747712850570679) < 1e-7
+    # below crit_eps the fixed point collapses to 0, above it is positive
+    assert theory.calculate_crit_point(0.37, 3, 6) < 1e-8
+    assert theory.calculate_crit_point(0.40, 3, 6) > 0.5
+
+
+def test_peeling_drift_properties():
+    thr = theory.calc_threshold(3, 6)
+    y = np.linspace(1e-3, 1.0, 200)
+    # below threshold the normalized drift stays strictly positive
+    r_below = theory.peeling_drift_normalized(0.40, 3, 6, y)
+    assert (r_below > 0).all()
+    # above threshold it dips negative somewhere
+    r_above = theory.peeling_drift_normalized(0.44, 3, 6, y)
+    assert r_above.min() < 0
+    # absolute-units drift at step 0 equals dv*n*r(1)
+    n = 500
+    d0 = theory.peeling_drift(0.4, 3, 6, n, np.array([0.0]))
+    assert d0[0] == pytest.approx(
+        3 * n * theory.peeling_drift_normalized(0.4, 3, 6, 1.0))
+
+
+def test_critical_point_variance_positive():
+    v = theory.critical_point_variance(500, 0.34, 3, 6)
+    assert v > 0
+
+
+def test_degree_distribution_evolution():
+    eps = 0.429
+    init = theory.initial_degree_distribution(eps, 6)
+    # distribution over degrees 1..6 sums to <= 1 (rest = removed checks)
+    assert init.sum() <= 1.0 + 1e-9
+    assert (init >= -1e-12).all()
+    # at time just after start, mass shifts toward low degrees
+    later = theory.degree_distribution_at_time(eps, 0.7, 3, 6)
+    assert later.shape == (6,)
+    assert np.isfinite(later).all()
