@@ -1,0 +1,105 @@
+"""Command-line entry point.
+
+Two invocation styles:
+
+  1. Reference-compatible positional argv (parallel_simulator.py:403-445):
+
+       python -m iib_project_ldpc_codes_tpu.cli \
+           <erasure_prob> <num_tests> <iterations> <n> <dv> <dc> <mode> \
+           [seed|filenumber] [expurgation]
+
+     with modes 0-5 = {MP, ML, both} x {random ensemble, fixed code}.
+
+  2. A JSON config:  python -m iib_project_ldpc_codes_tpu.cli --config cfg.json
+
+Optional flags (either style):
+  --platform=cpu|tpu     force the backend (default: whatever jax picks)
+  --devices=N            shard the batch over N devices (mesh + psum)
+  --output-dir=DIR       where results are written
+  --legacy-csv           also write the reference CSV format
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _apply_platform(flag: str | None, n_devices: int | None):
+    import jax
+
+    if flag == "cpu":
+        try:
+            if n_devices:
+                jax.config.update("jax_num_cpu_devices", n_devices)
+        except RuntimeError:
+            pass
+        jax.config.update("jax_platforms", "cpu")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    flags = {}
+    positional = []
+    for a in argv:
+        if a.startswith("--"):
+            k, _, v = a[2:].partition("=")
+            flags[k] = v if v else True
+        else:
+            positional.append(a)
+
+    from .utils.config import SimulationConfig
+
+    if "config" in flags:
+        with open(flags["config"]) as f:
+            cfg = SimulationConfig.from_json(f.read())
+    else:
+        if len(positional) < 7:
+            print(__doc__)
+            return 2
+        cfg = SimulationConfig.from_reference_argv(positional)
+
+    if "output-dir" in flags:
+        cfg.output_dir = flags["output-dir"]
+    if flags.get("legacy-csv"):
+        cfg.write_legacy_csv = True
+
+    n_devices = int(flags["devices"]) if "devices" in flags else None
+    _apply_platform(flags.get("platform"), n_devices)
+
+    import jax
+
+    from .models.ensemble import sample_code
+    from .parallel.mesh import make_mesh
+    from .parallel.montecarlo import run_simulation
+    from .utils.results import save_result
+
+    code = None
+    if cfg.code_mode == "fixed" or cfg.decoder == "peeling":
+        # deterministic code keyed by (code_number, n, dv, dc) -- the
+        # replacement for the reference's .npy parity-check cache
+        # (parallel_simulator.py:289-335): regenerating from the key is
+        # exact, so nothing needs to be stored.
+        code_key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),
+            cfg.dv * 1000 + cfg.dc)
+        code = sample_code(code_key, cfg.n, cfg.dv, cfg.dc, cfg.sampler)
+
+    mesh = None
+    if n_devices and n_devices > 1:
+        mesh = make_mesh(jax.devices()[:n_devices])
+
+    result = run_simulation(cfg, code=code, mesh=mesh)
+    path = save_result(result)
+    print(f"wrote {path}")
+    print(f"trials={result.num_trials} block_error_rate="
+          f"{result.block_error_rate:.6g} bit_error_rate="
+          f"{result.bit_error_rate:.6g} stopped_by={result.stopped_by}")
+    if result.optimal_block_error_rate is not None:
+        print(f"optimal_block_error_rate="
+              f"{result.optimal_block_error_rate:.6g} "
+              f"optimal_bit_error_rate={result.optimal_bit_error_rate:.6g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

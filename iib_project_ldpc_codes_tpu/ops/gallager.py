@@ -1,0 +1,176 @@
+"""Gallager-A/B hard-decision decoding for the BSC (bit-packed).
+
+Behaviour extension over the reference (which implements only the BEC --
+BASELINE.json config 2: "BSC Gallager-A hard-decision message passing,
+n=4096, crossover-prob sweep").  Shares the edge-list gather skeleton of
+the erasure decoder (SURVEY.md section 7 design stance: "two
+message-passing families ... same edge-list kernel skeleton, different
+message algebra").
+
+Messages are single bits, so the packed layout (32 trials/uint32, batch in
+lanes) applies directly:
+
+  * check -> variable: extrinsic XOR of the other dc-1 edge bits
+    (prefix/suffix XOR scans);
+  * variable -> check (Gallager-B with threshold t): send the complement of
+    the channel bit iff >= t of the other dv-1 incoming check messages
+    disagree with the channel bit; Gallager-A is t = dv-1 (all others
+    disagree);
+  * decision: majority over {channel bit, all dv incoming messages}.
+
+Disagreement counting across the dv-1 extrinsic inputs is done bit-sliced
+(ripple-carry half-adders on uint32 planes), so the whole decoder is
+bitwise VPU work plus the two static gathers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.code import LDPCCode
+from .bitops import per_trial_counts, total_popcount
+
+
+def _bitsliced_count_ge(bits: List[jax.Array], threshold: int) -> jax.Array:
+    """Given a list of uint32 bit-planes, return a plane whose bit is set
+    iff >= ``threshold`` of the input planes have that bit set.
+
+    Ripple-carry accumulation into ceil(log2(len+1)) planes; len(bits) is
+    dv-1 <= ~8, so this is a handful of XOR/AND ops.
+    """
+    k = len(bits)
+    if threshold <= 0:
+        return jnp.full_like(bits[0], 0xFFFFFFFF, dtype=jnp.uint32)
+    if threshold > k:
+        return jnp.zeros_like(bits[0])
+    # ripple-carry add each 1-bit input into sum planes (LSB first)
+    planes: List[jax.Array] = []
+    for b in bits:
+        carry = b
+        for i in range(len(planes)):
+            planes[i], carry = planes[i] ^ carry, planes[i] & carry
+        planes.append(carry)
+    # MSB-first lexicographic compare: sum >= threshold
+    ge = jnp.zeros_like(bits[0])                                # sum > prefix
+    eq = jnp.full_like(bits[0], 0xFFFFFFFF, dtype=jnp.uint32)   # equal so far
+    for i in range(len(planes) - 1, -1, -1):
+        t_bit = (threshold >> i) & 1
+        p = planes[i]
+        if t_bit == 0:
+            ge = ge | (eq & p)
+            eq = eq & ~p
+        else:
+            eq = eq & p
+    return ge | eq
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GallagerResult:
+    decided: jax.Array       # uint32[n, W] final hard decisions (bit planes)
+    error_totals: jax.Array  # int32[max_iters+1] decision errors vs all-zero
+    iterations: jax.Array
+
+    @property
+    def bit_errors(self) -> jax.Array:
+        return per_trial_counts(self.decided, axis=0)
+
+    @property
+    def failed(self) -> jax.Array:
+        unres = jnp.bitwise_or.reduce(self.decided, axis=0)
+        bits = ((unres[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+        return bits.reshape(-1).astype(bool)
+
+
+def _gallager_iteration(code: LDPCCode, channel: jax.Array, mvc: jax.Array,
+                        threshold: int):
+    """One flooding round; ``mvc`` is uint32[E, W] edge-resident bits."""
+    m, dc, dv = code.m, code.dc, code.dv
+    rows = mvc.reshape(m, dc, -1)
+
+    # extrinsic XOR via prefix/suffix scans
+    pre = [jnp.zeros_like(rows[:, 0])]
+    for j in range(dc - 1):
+        pre.append(pre[-1] ^ rows[:, j])
+    suf = [jnp.zeros_like(rows[:, 0])]
+    for j in range(dc - 1, 0, -1):
+        suf.append(suf[-1] ^ rows[:, j])
+    suf.reverse()
+    mcv = jnp.stack([pre[j] ^ suf[j] for j in range(dc)], axis=1)
+    mcv_e = mcv.reshape(m * dc, -1)
+
+    # gather to variables: [n, dv, W]
+    g = jnp.take(mcv_e, code.var_to_edge.reshape(-1), axis=0
+                 ).reshape(code.n, dv, -1)
+    disagree = [g[:, j] ^ channel for j in range(dv)]
+
+    # variable update per outgoing edge j: count disagreements among others
+    out = []
+    for j in range(dv):
+        others = [disagree[l] for l in range(dv) if l != j]
+        flip = _bitsliced_count_ge(others, threshold)
+        out.append(channel ^ flip)
+    new_mvc_by_var = jnp.stack(out, axis=1)  # [n, dv, W]
+
+    # scatter back to edge order = gather with inverse permutation: edge e
+    # belongs to variable chk_flat[e] at socket position found via
+    # var_to_edge; build inverse once per call (static arrays).
+    inv = jnp.zeros((code.n * dv,), jnp.int32)
+    inv = inv.at[code.var_to_edge.reshape(-1)].set(
+        jnp.arange(code.n * dv, dtype=jnp.int32))
+    new_mvc = jnp.take(new_mvc_by_var.reshape(code.n * dv, -1), inv, axis=0)
+
+    # majority decision: channel bit + dv incoming; flip channel iff
+    # > dv/2 disagreements (strict majority of the dv messages)
+    maj_thresh = dv // 2 + 1
+    dec_flip = _bitsliced_count_ge(disagree, maj_thresh)
+    decided = channel ^ dec_flip
+    return new_mvc, decided
+
+
+@partial(jax.jit, static_argnames=("max_iters", "threshold"))
+def gallager_decode_packed(code: LDPCCode, received: jax.Array,
+                           max_iters: int, threshold: int | None = None
+                           ) -> GallagerResult:
+    """Decode 32*W BSC trials; ``received`` is uint32[n, W] hard-bit planes
+    relative to the all-zero codeword (bit set = channel flipped).
+
+    ``threshold=None`` selects Gallager-A (t = dv-1); smaller t gives
+    Gallager-B variants.  Error counts are decision errors vs the all-zero
+    word after each iteration (index 0 = raw channel errors).
+    """
+    if threshold is None:
+        threshold = code.dv - 1  # Gallager-A
+    channel = received
+    mvc0 = jnp.take(received, code.chk_to_var.reshape(-1), axis=0)
+    count0 = total_popcount(received).astype(jnp.int32)
+    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
+    decided0 = received
+
+    # Termination: message fixed point (Gallager decoding is not monotone,
+    # so unlike the BEC an unchanged *count* does not imply convergence --
+    # the messages themselves must be unchanged) or error-free decision.
+    def cond(carry):
+        _, _, _, it, count, changed = carry
+        return (it < max_iters) & (count > 0) & changed
+
+    def body(carry):
+        mvc, decided, errors, it, count, _ = carry
+        new_mvc, decided = _gallager_iteration(code, channel, mvc, threshold)
+        new_count = total_popcount(decided).astype(jnp.int32)
+        changed = total_popcount(new_mvc ^ mvc) > 0
+        errors = errors.at[it + 1].set(new_count)
+        return (new_mvc, decided, errors, it + 1, new_count, changed)
+
+    mvc, decided, errors, it, count, _ = jax.lax.while_loop(
+        cond, body,
+        (mvc0, decided0, errors, jnp.int32(0), count0, count0 > -1))
+
+    tail = jnp.arange(max_iters + 1) > it
+    errors = jnp.where(tail, count, errors)
+    return GallagerResult(decided=decided, error_totals=errors, iterations=it)

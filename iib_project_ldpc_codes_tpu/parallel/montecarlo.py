@@ -79,6 +79,44 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
     )
 
 
+def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
+                    iterations: int, crossover_prob) -> ChunkStats:
+    """BSC hard-decision chunk: packed flip mask -> Gallager-A decode."""
+    from ..ops.gallager import gallager_decode_packed
+
+    received = bernoulli_packed(key, crossover_prob, (n, words))
+    res = gallager_decode_packed(code, received, iterations)
+    return ChunkStats(
+        error_totals=res.error_totals,
+        block_errors=jnp.sum(res.failed).astype(jnp.int32),
+        bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
+        excluded=jnp.int32(0),
+    )
+
+
+def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
+                iterations: int, channel: str, channel_param,
+                method: str) -> ChunkStats:
+    """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP."""
+    from ..ops.channels import AWGN, BSC
+    from ..ops.soft_bp import soft_bp_decode
+
+    zeros = jnp.zeros((n, batch), jnp.int32)
+    if channel == "AWGN":
+        ch = AWGN(channel_param)
+        llr = ch.llr(ch.transmit(key, zeros))
+    else:
+        ch = BSC(channel_param)
+        llr = ch.llr(ch.transmit(key, zeros))
+    res = soft_bp_decode(code, llr, iterations, method=method)
+    return ChunkStats(
+        error_totals=res.error_totals,
+        block_errors=jnp.sum(res.failed).astype(jnp.int32),
+        bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
+        excluded=jnp.int32(0),
+    )
+
+
 def _ensemble_chunk(key: jax.Array, *, n: int, dv: int, dc: int,
                     num_codes: int, words_per_code: int, iterations: int,
                     erasure_prob, expurgation: Optional[int],
@@ -114,36 +152,85 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
 
     Returns ``fn(key) -> ChunkStats`` decoding ``cfg.batch`` trials.
     """
-    if cfg.channel != "BEC" or cfg.decoder not in ("bp",):
+    pair = (cfg.channel, cfg.decoder)
+    device_decoders = {("BEC", "bp"), ("BSC", "gallager"),
+                       ("BSC", "sumproduct"), ("BSC", "minsum"),
+                       ("AWGN", "sumproduct"), ("AWGN", "minsum")}
+    if pair not in device_decoders:
         raise NotImplementedError(
-            "chunk kernel currently covers the BEC/BP path; ML and peeling "
-            "run through their own drivers")
+            f"{pair} runs through its own host driver (ml/both/peeling)")
 
     n_dev = 1 if mesh is None else mesh.size
     if cfg.batch % (32 * n_dev):
         raise ValueError("batch must divide by 32 * n_devices")
-    words = cfg.batch // 32 // n_dev  # per-device words
+    words = cfg.batch // 32 // n_dev  # per-device words (packed decoders)
+
+    def decode_one(c: LDPCCode, key: jax.Array) -> ChunkStats:
+        if pair == ("BEC", "bp"):
+            return _bp_chunk(c, key, n=cfg.n, words=words,
+                             iterations=cfg.iterations,
+                             erasure_prob=cfg.channel_param,
+                             expurgation=cfg.expurgation)
+        if pair == ("BSC", "gallager"):
+            return _gallager_chunk(c, key, n=cfg.n, words=words,
+                                   iterations=cfg.iterations,
+                                   crossover_prob=cfg.channel_param)
+        return _soft_chunk(c, key, n=cfg.n, batch=words * 32,
+                           iterations=cfg.iterations, channel=cfg.channel,
+                           channel_param=cfg.channel_param,
+                           method=cfg.decoder)
 
     if cfg.code_mode == "fixed":
         if code is None:
             raise ValueError("fixed code_mode requires a code")
 
         def local_chunk(key):
-            return _bp_chunk(code, key, n=cfg.n, words=words,
-                             iterations=cfg.iterations,
-                             erasure_prob=cfg.channel_param,
-                             expurgation=cfg.expurgation)
+            return decode_one(code, key)
     else:
         num_codes = max(cfg.codes_per_chunk // n_dev, 1)
-        wpc = max(words // num_codes, 1)
+        while words % num_codes:
+            num_codes -= 1  # keep trial accounting exact
+        if pair == ("BEC", "bp"):
+            wpc = words // num_codes
 
-        def local_chunk(key):
-            return _ensemble_chunk(key, n=cfg.n, dv=cfg.dv, dc=cfg.dc,
-                                   num_codes=num_codes, words_per_code=wpc,
-                                   iterations=cfg.iterations,
-                                   erasure_prob=cfg.channel_param,
-                                   expurgation=cfg.expurgation,
-                                   sampler=cfg.sampler)
+            def local_chunk(key):
+                return _ensemble_chunk(key, n=cfg.n, dv=cfg.dv, dc=cfg.dc,
+                                       num_codes=num_codes,
+                                       words_per_code=wpc,
+                                       iterations=cfg.iterations,
+                                       erasure_prob=cfg.channel_param,
+                                       expurgation=cfg.expurgation,
+                                       sampler=cfg.sampler)
+        else:
+            # generic fresh-codes wrapper over any device decoder
+            sub_words = words // num_codes
+
+            def local_chunk(key):
+                kc, kx = jax.random.split(key)
+                code_keys = jax.random.split(kc, num_codes)
+                noise_keys = jax.random.split(kx, num_codes)
+
+                def one(code_key, noise_key):
+                    chk = sample_check_table(code_key, cfg.n, cfg.dv,
+                                             cfg.dc, cfg.sampler)
+                    c = code_from_checks(chk, n=cfg.n, dv=cfg.dv, dc=cfg.dc)
+                    # words is closed over; decode a sub-batch per code
+                    if pair == ("BSC", "gallager"):
+                        return _gallager_chunk(
+                            c, noise_key, n=cfg.n, words=sub_words,
+                            iterations=cfg.iterations,
+                            crossover_prob=cfg.channel_param)
+                    return _soft_chunk(
+                        c, noise_key, n=cfg.n, batch=sub_words * 32,
+                        iterations=cfg.iterations, channel=cfg.channel,
+                        channel_param=cfg.channel_param, method=cfg.decoder)
+
+                stats = jax.vmap(one)(code_keys, noise_keys)
+                return ChunkStats(
+                    error_totals=jnp.sum(stats.error_totals, axis=0),
+                    block_errors=jnp.sum(stats.block_errors),
+                    bit_errors=jnp.sum(stats.bit_errors),
+                    excluded=jnp.sum(stats.excluded))
 
     if mesh is None:
         return jax.jit(local_chunk)

@@ -65,8 +65,17 @@ class SimulationConfig:
             raise ValueError("batch must be a multiple of 32 (bit packing)")
         if self.channel not in ("BEC", "BSC", "AWGN"):
             raise ValueError(f"unknown channel {self.channel!r}")
-        if self.decoder not in ("bp", "ml", "both", "peeling"):
+        valid_decoders = ("bp", "ml", "both", "peeling",   # BEC family
+                          "gallager",                      # BSC hard-decision
+                          "sumproduct", "minsum")          # soft LLR family
+        if self.decoder not in valid_decoders:
             raise ValueError(f"unknown decoder {self.decoder!r}")
+        by_channel = {"BEC": ("bp", "ml", "both", "peeling"),
+                      "BSC": ("gallager", "sumproduct", "minsum"),
+                      "AWGN": ("sumproduct", "minsum")}
+        if self.decoder not in by_channel[self.channel]:
+            raise ValueError(
+                f"decoder {self.decoder!r} not available on {self.channel}")
         if self.code_mode not in ("ensemble", "fixed"):
             raise ValueError(f"unknown code_mode {self.code_mode!r}")
         if (self.n * self.dv) % self.dc:
