@@ -1,0 +1,111 @@
+"""Code-artifact diagnostics: consistency checks, lookups, minimum distance.
+
+Replaces the reference's manual-inspection tools: tools/code_checker.py
+(recompute lookups from H and compare), tools/generate_lookups.py
+(regenerate lookup tables, detect duplicate rows) and
+tools/minimum_distance_calculator.py (brute-force search for weight-2/3
+codewords, used to sanity-check expurgation assumptions).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models.code import LDPCCode, code_from_dense, dense_parity_check
+
+
+def lookups_from_dense(h: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Recompute check/variable lookup tables from a dense H
+    (tools/generate_lookups.py:14-35)."""
+    h = np.asarray(h, bool)
+    check_lookup = np.stack([np.nonzero(r)[0] for r in h]).astype(np.int32)
+    variable_lookup = np.stack(
+        [np.nonzero(c)[0] for c in h.T]).astype(np.int32)
+    return check_lookup, variable_lookup
+
+
+def check_code_consistency(code: LDPCCode) -> List[str]:
+    """Recompute lookups from the dense export and diff against the code's
+    own tables (tools/code_checker.py:16-33).  Returns a list of problem
+    descriptions (empty = consistent)."""
+    problems = []
+    h = dense_parity_check(code)
+    check_lookup, variable_lookup = lookups_from_dense(h)
+    ours_check = np.sort(np.asarray(code.chk_to_var), axis=1)
+    if not (np.sort(check_lookup, axis=1) == ours_check).all():
+        problems.append("check lookup inconsistent with dense H")
+    ours_var = np.asarray(code.var_to_chk)
+    if not (np.sort(variable_lookup, axis=1)
+            == np.sort(ours_var, axis=1)).all():
+        problems.append("variable lookup inconsistent with dense H")
+    return problems
+
+
+def duplicate_variable_columns(code: LDPCCode) -> List[Tuple[int, int]]:
+    """Pairs of variables with identical check neighbourhoods -- these
+    create weight-2 codewords (tools/generate_lookups.py:37-47)."""
+    var_lists = np.sort(np.asarray(code.var_to_chk), axis=1)
+    order = np.lexsort(var_lists.T[::-1])
+    dups = []
+    for a, b in zip(order, order[1:]):
+        if (var_lists[a] == var_lists[b]).all():
+            dups.append((int(min(a, b)), int(max(a, b))))
+    return dups
+
+
+def _column_bits(code: LDPCCode) -> np.ndarray:
+    """uint64[n, words]: bit-packed columns of H (rows as bits)."""
+    h = dense_parity_check(code)
+    m, n = h.shape
+    words = (m + 63) // 64
+    padded = np.zeros((n, words * 64), dtype=bool)
+    padded[:, :m] = h.T
+    weights = (1 << np.arange(64, dtype=np.uint64))
+    return (padded.reshape(n, words, 64).astype(np.uint64)
+            * weights).sum(axis=2, dtype=np.uint64)
+
+
+def find_low_weight_codewords(code: LDPCCode, max_weight: int = 3
+                              ) -> List[Tuple[int, ...]]:
+    """Brute-force search for codewords of weight 2 (and optionally 3)
+    (tools/minimum_distance_calculator.py:12-69, with the weight-3 search
+    completed -- the reference left its codeword test commented out).
+
+    Bit-packed column XOR makes the O(n^2)/O(n^3) scans cheap at small n.
+    """
+    cols = _column_bits(code)
+    n = code.n
+    found: List[Tuple[int, ...]] = []
+    # weight 2: identical columns
+    order = np.lexsort(cols.T[::-1])
+    for a, b in zip(order, order[1:]):
+        if (cols[a] == cols[b]).all():
+            found.append((int(min(a, b)), int(max(a, b))))
+    if max_weight >= 3:
+        # weight 3: c_i ^ c_j == c_k; hash columns for O(n^2) total
+        lookup = {}
+        for i in range(n):
+            lookup.setdefault(cols[i].tobytes(), []).append(i)
+        for i in range(n):
+            for j in range(i + 1, n):
+                x = cols[i] ^ cols[j]
+                for k in lookup.get(x.tobytes(), []):
+                    if k > j:
+                        found.append((i, j, k))
+    return found
+
+
+def minimum_distance_probe(code: LDPCCode, max_weight: int = 3
+                           ) -> Optional[int]:
+    """Smallest codeword weight <= max_weight, or None if none found."""
+    for w in (2, 3):
+        if w > max_weight:
+            break
+        hits = [t for t in find_low_weight_codewords(code, w)
+                if len(t) == w]
+        if hits:
+            return w
+    return None

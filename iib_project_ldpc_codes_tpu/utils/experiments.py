@@ -1,0 +1,140 @@
+"""Experiment drivers: finite-length scaling of the peeling decoder.
+
+Replicates the analysis pipeline of the reference's peeling experiment
+(peeling_decoder.py:89-232) and waterfall calculation
+(finite_length_scaling_calculation.py:31-45) as library functions returning
+structured results (the reference runs at module scope and plots directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.code import LDPCCode
+from ..models.ensemble import sample_code
+from ..ops.channels import BEC
+from ..ops.peeling import peel_decode
+from . import theory
+
+
+@dataclasses.dataclass
+class PeelingScalingResult:
+    """Output of the peeling R-process experiment at one (n, eps)."""
+
+    n: int
+    dv: int
+    dc: int
+    erasure_prob: float
+    repeats: int
+    # trajectories[i] = degree-1 check counts, reversed (steps-remaining
+    # axis), NaN-padded to num_erasures+1 (peeling_decoder.py:143-149)
+    trajectories: List[np.ndarray]
+    sizes_at_failure: np.ndarray     # int[repeats]
+    drift: np.ndarray                # analytic E[R] on the same axis
+    critical_point: int              # step index of the critical point
+    critical_distribution: np.ndarray  # R values at the critical point
+    num_failures_at_critical: int
+    expected_at_critical: float      # first-order drift prediction
+    variance_at_critical: float      # scaling-law variance
+
+    @property
+    def failure_rate(self) -> float:
+        return float((self.sizes_at_failure > 0).mean())
+
+
+def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
+                               repeats: int = 100, seed: int = 0,
+                               code: Optional[LDPCCode] = None
+                               ) -> PeelingScalingResult:
+    """Monte Carlo R-process trajectories vs the analytic drift.
+
+    Mirrors peeling_decoder.py:136-168: fresh (or fixed) code per repeat,
+    all-zero transmit through the BEC, sequential random peeling, and the
+    critical-point bookkeeping of :105-123.
+    """
+    thr = theory.calc_threshold(dv, dc)
+    y_crit = theory.threshold_y(thr, dv, dc)
+    # critical step index (peeling_decoder.py:111: int(n eps* y*^dv))
+    critical_point = int(n * thr * y_crit ** dv)
+
+    # analytic drift on the steps-remaining axis (peeling_decoder.py:106-107)
+    steps = np.arange(int(n * erasure_prob))
+    drift = theory.peeling_drift(erasure_prob, dv, dc, n, steps)[::-1]
+
+    # first-order expected R at the critical point (peeling_decoder.py:117-118)
+    first_derivative = (-n * dv * (dc - 1) * thr * y_crit ** (2 * dv - 2)
+                        * (1 - erasure_prob * y_crit ** (dv - 1)) ** (dc - 2))
+    expected_at_critical = first_derivative * (erasure_prob - thr)
+    variance = theory.critical_point_variance(n, erasure_prob, dv, dc)
+
+    key = jax.random.key(seed)
+    ch = BEC(erasure_prob)
+    trajectories = []
+    sizes_at_failure = []
+    critical_distribution = []
+    num_failures_at_critical = 0
+
+    for i in range(repeats):
+        k_code, k_noise, k_peel = jax.random.split(
+            jax.random.fold_in(key, i), 3)
+        c = code if code is not None else sample_code(k_code, n, dv, dc)
+        rx = ch.transmit(k_noise, jnp.zeros(n, jnp.int32))
+        res = peel_decode(c, rx, k_peel)
+        evo = np.asarray(res.one_degree_evolution)
+        evo = evo[evo >= 0].astype(float)
+        num_erasures = int(res.num_erasures)
+        sizes_at_failure.append(num_erasures + 1 - len(evo))
+        padded = np.concatenate(
+            [evo, np.full(num_erasures + 1 - len(evo), np.nan)])
+        traj = padded[::-1]
+        trajectories.append(traj)
+        # critical-point statistics (peeling_decoder.py:162-168)
+        if critical_point < len(traj):
+            r = traj[critical_point] - (
+                drift[critical_point] if critical_point < len(drift) else 0.0)
+            if math.isnan(r) or r < 0:
+                num_failures_at_critical += 1
+            else:
+                critical_distribution.append(traj[critical_point])
+        else:
+            num_failures_at_critical += 1
+
+    return PeelingScalingResult(
+        n=n, dv=dv, dc=dc, erasure_prob=erasure_prob, repeats=repeats,
+        trajectories=trajectories,
+        sizes_at_failure=np.array(sizes_at_failure),
+        drift=drift, critical_point=critical_point,
+        critical_distribution=np.array(critical_distribution),
+        num_failures_at_critical=num_failures_at_critical,
+        expected_at_critical=float(expected_at_critical),
+        variance_at_critical=float(variance))
+
+
+@dataclasses.dataclass
+class WaterfallResult:
+    ns: List[int]
+    erasure_probs: np.ndarray
+    curves: List[np.ndarray]          # P_block per n (scaling law)
+    threshold: float
+    alpha: float
+
+
+def waterfall_curves(ns, erasure_probs=None, dv: int = 3, dc: int = 6,
+                     finite_size_shift: bool = False) -> WaterfallResult:
+    """Scaling-law waterfall curves for a list of block lengths
+    (finite_length_scaling_calculation.py:31-45)."""
+    if erasure_probs is None:
+        erasure_probs = np.linspace(0.32, 0.5, 100)
+    erasure_probs = np.asarray(erasure_probs)
+    thr = theory.calc_threshold(dv, dc)
+    alpha = theory.calculate_alpha(thr, dv, dc)
+    curves = [theory.waterfall_block_error(
+        n, erasure_probs, dv, dc, finite_size_shift) for n in ns]
+    return WaterfallResult(ns=list(ns), erasure_probs=erasure_probs,
+                           curves=curves, threshold=thr, alpha=alpha)

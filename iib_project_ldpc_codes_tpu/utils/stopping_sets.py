@@ -1,0 +1,240 @@
+"""Exact finite-length ensemble analysis via stopping-set enumeration.
+
+Computes the exact ensemble-average bit erasure probability of iterative
+decoding on the BEC by counting stopping constellations (Di/Proietti/
+Telatar/Richardson/Urbanke-style generating-function recursion), matching
+the reference's test_finite_length_analysis.py:18-109:
+
+  * ``f(dc, sigma, dt, coef)``: coefficient of x^coef in
+    ((1+x)^(dc-1) - 1)^sigma * ((1+x)^dc - 1 - dc x)^dt   (:18-24)
+  * recursive constellation count ``A(v, t, s)``              (:26-58)
+  * ``B(v) = sum_{t,s} C(k, t+s) A(v,t,s) * v! (dv!)^v``      (:60-66)
+  * configuration normaliser ``T(v) = (v dv)! C(k dc, v dv)`` (:68-69)
+  * ``bit_error = sum_e B(e) eps^e (1-eps)^(n-e) C(n,e)/T(e)`` (:92-109)
+
+Design differences (not a port): polynomials are plain integer coefficient
+lists with cached convolution powers -- no sympy, orders of magnitude
+faster than ``sympy.expand`` on ((1+x)^dc-1-dc x)^t -- and all arithmetic
+is exact ``fractions.Fraction`` (the reference mixes Python ints with
+float factors like ``ds/s``, which overflows to inf for larger v).
+Conversion to float happens once at the end via big-int log2, so n in the
+thousands is representable.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from functools import lru_cache
+from typing import List, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Integer polynomial helpers (coefficient lists, index = power)
+# ---------------------------------------------------------------------------
+
+def _poly_mul(a: Tuple[int, ...], b: Tuple[int, ...]) -> Tuple[int, ...]:
+    out = [0] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        if ai:
+            for j, bj in enumerate(b):
+                if bj:
+                    out[i + j] += ai * bj
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _binomial_poly(deg: int) -> Tuple[int, ...]:
+    """(1+x)^deg as a coefficient tuple."""
+    return tuple(math.comb(deg, i) for i in range(deg + 1))
+
+
+@lru_cache(maxsize=None)
+def _sigma_base(dc: int) -> Tuple[int, ...]:
+    """(1+x)^(dc-1) - 1."""
+    p = list(_binomial_poly(dc - 1))
+    p[0] -= 1
+    return tuple(p)
+
+
+@lru_cache(maxsize=None)
+def _dt_base(dc: int) -> Tuple[int, ...]:
+    """(1+x)^dc - 1 - dc*x (degree->=2 check polynomial)."""
+    p = list(_binomial_poly(dc))
+    p[0] -= 1
+    p[1] -= dc
+    return tuple(p)
+
+
+@lru_cache(maxsize=None)
+def _poly_pow(base: Tuple[int, ...], e: int) -> Tuple[int, ...]:
+    if e == 0:
+        return (1,)
+    if e == 1:
+        return base
+    return _poly_mul(_poly_pow(base, e - 1), base)
+
+
+def f(dc: int, sigma: int, dt: int, coef: int) -> int:
+    """[x^coef] ((1+x)^(dc-1)-1)^sigma ((1+x)^dc-1-dc x)^dt
+    (test_finite_length_analysis.py:18-24)."""
+    if coef < 0:
+        return 0
+    p = _poly_mul(_poly_pow(_sigma_base(dc), sigma),
+                  _poly_pow(_dt_base(dc), dt))
+    return p[coef] if coef < len(p) else 0
+
+
+def total_stopping_sets(v: int, dv: int, dc: int, t: int) -> int:
+    """(v dv)! [x^(v dv)] ((1+x)^dc - 1 - dc x)^t
+    (test_finite_length_analysis.py:77-89): socket-labelled count of
+    stopping sets of v variables whose edges land in exactly t checks,
+    every check covered >= 2 times."""
+    p = _poly_pow(_dt_base(dc), t)
+    want = v * dv
+    c = p[want] if want < len(p) else 0
+    return c * math.factorial(want)
+
+
+# ---------------------------------------------------------------------------
+# Constellation recursion
+# ---------------------------------------------------------------------------
+
+class StoppingSetAnalysis:
+    """Exact finite-length analysis for one (n, dv, dc) ensemble.
+
+    ``k`` here is the number of *check* nodes (the reference passes
+    ``int(0.5 n)``, test_finite_length_analysis.py:118).  ``X`` is the
+    moment exponent: X=1 weights constellations by the fraction of bits
+    they erase (bit-error), X=0 counts erasure events (block-error style).
+    """
+
+    def __init__(self, n: int, dv: int, dc: int, num_checks: int | None = None,
+                 X: int = 1):
+        self.n = n
+        self.dv = dv
+        self.dc = dc
+        self.k = num_checks if num_checks is not None else (n * dv) // dc
+        self.X = X
+        self._A = lru_cache(maxsize=None)(self._A_impl)
+
+    def _A_impl(self, v: int, t: int, s: int) -> Fraction:
+        """A(v,t,s) (test_finite_length_analysis.py:26-58), exact."""
+        dv, dc, n, X = self.dv, self.dc, self.n, self.X
+        if v == 0:
+            return Fraction(0)
+        if s == 0:
+            count = total_stopping_sets(v, dv, dc, t)
+            if count == 0:
+                return Fraction(0)
+            return (Fraction(count)
+                    * Fraction(v, n) ** X
+                    / (math.factorial(v) * math.factorial(dv) ** v))
+        total = Fraction(0)
+        for ds in range(1, dv + 1):
+            for sigma in range(0, dv - ds + 1):
+                if s + sigma - ds < 0:
+                    continue
+                omega = (v - 1) * dv - (s + sigma - ds)
+                fourth = math.comb(s + sigma - ds, sigma)
+                fifth = Fraction(dc ** ds * ds, s)
+                for dt in range(0, (dv - ds - sigma) // 2 + 1):
+                    if dc * (t - dt - sigma) - omega < 0:
+                        continue
+                    if t - dt - sigma < 0:
+                        continue
+                    sixth = self._A(v - 1, t - dt - sigma, s + sigma - ds)
+                    if sixth == 0:
+                        continue
+                    first = math.comb(dt + ds, dt)
+                    seventh = math.comb(t + s, dt + ds)
+                    inner = 0
+                    for tau in range(0, dv - ds - sigma - 2 * dt + 1):
+                        second = f(dc, sigma, dt, dv - ds - tau)
+                        if second == 0:
+                            continue
+                        third = math.comb(dc * (t - dt - sigma) - omega, tau)
+                        inner += second * third
+                    if inner:
+                        total += (first * inner * fourth * seventh) \
+                            * fifth * sixth
+        return total
+
+    def B(self, v: int) -> Fraction:
+        """Weighted constellation count over all (t, s) splits
+        (test_finite_length_analysis.py:60-66)."""
+        k = self.k
+        acc = Fraction(0)
+        for t in range(k + 1):
+            for s in range(k - t + 1):
+                a = self._A(v, t, s)
+                if a:
+                    acc += math.comb(k, t + s) * a
+        return acc * (math.factorial(v) * math.factorial(self.dv) ** v)
+
+    def T(self, v: int) -> int:
+        """Total labelled configurations with v active variables
+        (test_finite_length_analysis.py:68-69)."""
+        return (math.factorial(v * self.dv)
+                * math.comb(self.k * self.dc, v * self.dv))
+
+    def bit_error(self, erasure_prob, max_weight: int | None = None
+                  ) -> Tuple[float, List[float]]:
+        """Exact ensemble-average erasure-weighted error probability.
+
+        Returns ``(total, per_weight)`` where ``per_weight[e]`` is the
+        contribution of erasure weight e (test_finite_length_analysis.py:
+        92-109).  ``max_weight`` truncates the sum (the tail is
+        combinatorially negligible below threshold).
+        """
+        n = self.n
+        eps = Fraction(erasure_prob).limit_denominator(10 ** 9)
+        max_weight = n if max_weight is None else min(max_weight, n)
+        per_weight = []
+        total = Fraction(0)
+        for e in range(max_weight + 1):
+            b = self.B(e)
+            if b == 0:
+                per_weight.append(0.0)
+                continue
+            value = (b * eps ** e * (1 - eps) ** (n - e)
+                     * math.comb(n, e)) / self.T(e)
+            total += value
+            per_weight.append(_frac_to_float(value))
+        return _frac_to_float(total), per_weight
+
+
+def _frac_to_float(fr: Fraction) -> float:
+    """Fraction -> float via big-int log2 (robust to huge numerators)."""
+    if fr == 0:
+        return 0.0
+    sign = -1.0 if fr < 0 else 1.0
+    num, den = abs(fr.numerator), fr.denominator
+    log2 = math.log2(num) - math.log2(den)
+    if log2 < -1022:
+        return sign * 0.0
+    if log2 > 1023:
+        return sign * math.inf
+    return sign * 2.0 ** log2
+
+
+def expected_stopping_sets(n: int, dv: int, dc: int, vmax: int
+                           ) -> List[float]:
+    """E[# stopping sets of size v] over the configuration ensemble:
+    sum_t C(m, t) * total_stopping_sets(v,t) * C(n,v) ... normalised by
+    the matching count -- the small-v diagnostic used to justify
+    expurgation (SURVEY.md C20 context)."""
+    m = (n * dv) // dc
+    out = []
+    for v in range(vmax + 1):
+        acc = Fraction(0)
+        for t in range(min(m, v * dv // 2) + 1):
+            c = total_stopping_sets(v, dv, dc, t)
+            if c:
+                acc += math.comb(m, t) * c
+        total = (math.comb(n, v) * acc
+                 * Fraction(math.factorial(n * dv - v * dv),
+                            math.factorial(n * dv))
+                 )
+        out.append(_frac_to_float(total))
+    return out

@@ -1,0 +1,131 @@
+"""Stopping-set finite-length analysis tests.
+
+Cross-checks: sympy coefficient extraction (same expressions the reference
+builds, test_finite_length_analysis.py:18-24), Monte Carlo expected
+stopping-set counts on tiny ensembles, and structural identities.
+"""
+
+import math
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.utils.stopping_sets import (
+    StoppingSetAnalysis, _frac_to_float, expected_stopping_sets, f,
+    total_stopping_sets)
+
+
+def test_f_matches_sympy():
+    sympy = pytest.importorskip("sympy")
+    from sympy.abc import x
+    for dc in (4, 6):
+        for sigma in (0, 1, 2):
+            for dt in (0, 1, 2):
+                expr = sympy.expand(((1 + x) ** (dc - 1) - 1) ** sigma
+                                    * ((1 + x) ** dc - 1 - dc * x) ** dt)
+                d = expr.as_coefficients_dict()
+                for coef in range(0, 10):
+                    want = int(d.get(x ** coef, 0)) if coef else int(
+                        d.get(sympy.Integer(1), 0))
+                    assert f(dc, sigma, dt, coef) == want, (dc, sigma, dt,
+                                                           coef)
+
+
+def test_total_stopping_sets_small():
+    sympy = pytest.importorskip("sympy")
+    from sympy.abc import x
+    for dv, dc, v, t in [(3, 6, 2, 3), (3, 6, 3, 3), (2, 4, 2, 2),
+                         (3, 6, 2, 2)]:
+        expr = sympy.expand(((1 + x) ** dc - 1 - dc * x) ** t)
+        want = int(expr.coeff(x, v * dv)) * math.factorial(v * dv)
+        assert total_stopping_sets(v, dv, dc, t) == want
+
+
+def test_frac_to_float():
+    assert _frac_to_float(Fraction(0)) == 0.0
+    assert _frac_to_float(Fraction(3, 4)) == pytest.approx(0.75)
+    assert _frac_to_float(-Fraction(1, 8)) == pytest.approx(-0.125)
+    huge = Fraction(math.factorial(300), math.factorial(297))
+    assert _frac_to_float(huge) == pytest.approx(300 * 299 * 298, rel=1e-9)
+
+
+def test_T_is_configuration_count():
+    a = StoppingSetAnalysis(12, 3, 6)
+    # T(v) = (v dv)! C(k dc, v dv): labelled socket matchings
+    assert a.T(0) == 1
+    assert a.T(2) == math.factorial(6) * math.comb(6 * 6, 6)
+
+
+def test_expected_stopping_sets_vs_monte_carlo():
+    """E[# size-v stopping sets] over the raw configuration ensemble,
+    checked by brute-force sampling on a tiny (3,6) ensemble."""
+    n, dv, dc = 8, 3, 6
+    m = n * dv // dc
+    rng = np.random.default_rng(0)
+    reps = 4000
+    counts = np.zeros(4)
+    for _ in range(reps):
+        perm = rng.permutation(n * dv)
+        chk = (perm // dv).reshape(m, dc)
+        # adjacency with multiplicity
+        adj = np.zeros((m, n), int)
+        for c in range(m):
+            for v in chk[c]:
+                adj[c, v] += 1
+        # count stopping sets of sizes 1..3
+        import itertools
+        for v_size in (1, 2, 3):
+            for subset in itertools.combinations(range(n), v_size):
+                sub = adj[:, list(subset)].sum(axis=1)
+                touched = sub > 0
+                if (sub[touched] >= 2).all() and touched.any():
+                    counts[v_size] += 1
+    mc = counts / reps
+    exact = expected_stopping_sets(n, dv, dc, 3)
+    for v_size in (1, 2, 3):
+        # 4-sigma-ish agreement
+        se = math.sqrt(max(mc[v_size], 1e-3) / reps) * 4 + 0.05 * exact[v_size]
+        assert abs(mc[v_size] - exact[v_size]) < se + 0.02, (
+            v_size, mc[v_size], exact[v_size])
+
+
+def test_bit_error_monotone_and_bounded():
+    a = StoppingSetAnalysis(12, 3, 6, X=1)
+    totals = []
+    for eps in (0.1, 0.2, 0.3):
+        total, per_w = a.bit_error(eps)
+        assert 0 <= total <= 1
+        assert len(per_w) == 13
+        assert all(w >= 0 for w in per_w)
+        totals.append(total)
+    assert totals[0] < totals[1] < totals[2]
+
+
+def test_bit_error_full_erasure_limit():
+    """At eps=1 every bit is erased and never recovered: the X=1 analysis
+    must give (weighted) error 1 -- the whole graph is a stopping set."""
+    a = StoppingSetAnalysis(8, 3, 6, X=1)
+    total, per_w = a.bit_error(0.999999)
+    assert total == pytest.approx(1.0, abs=1e-3)
+    # only the full-weight term contributes materially
+    assert per_w[8] == pytest.approx(total, rel=1e-2)
+
+
+def test_B_reference_parity_anchors():
+    """Exact values cross-checked against the reference implementation
+    (test_finite_length_analysis.py B()) executed on (n=12, dv=3, dc=6,
+    k=6 checks): matched to full precision for v=0..6, X in {0,1}."""
+    a = StoppingSetAnalysis(12, 3, 6, num_checks=6, X=0)
+    assert a.B(1) == 720
+    assert a.B(2) == 102107520
+    assert a.B(3) == 6618858624000
+
+
+def test_A_s0_base_case():
+    """A(v, t, 0) must equal the normalised stopping-set count."""
+    a = StoppingSetAnalysis(12, 3, 6, X=0)
+    v, t = 2, 3
+    want = Fraction(total_stopping_sets(v, 3, 6, t)) / (
+        math.factorial(v) * math.factorial(3) ** v)
+    assert a._A(v, t, 0) == want
