@@ -24,7 +24,8 @@ def main():
 
     from iib_project_ldpc_codes_tpu.models import sample_code
     from iib_project_ldpc_codes_tpu.ops.channels import bec_packed_channel
-    from iib_project_ldpc_codes_tpu.ops.erasure_bp import bp_decode_packed
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        bp_decode_packed_allzero)
 
     n, dv, dc = 10_000, 3, 6
     iters = 50
@@ -35,10 +36,10 @@ def main():
 
     code = sample_code(jax.random.key(0), n, dv, dc)
     erased = bec_packed_channel(jax.random.key(1), eps, (n, words))
-    tx = jnp.zeros((n, words), jnp.uint32)
 
     def run(erased):
-        res = bp_decode_packed(code, erased, tx, iters)
+        # all-zero-codeword transmit: the reference's Monte Carlo workload
+        res = bp_decode_packed_allzero(code, erased, iters)
         return res.error_totals, res.iterations
 
     run_jit = jax.jit(run)

@@ -49,7 +49,14 @@ def gf2_row_reduce(aug: np.ndarray, num_cols: int
 
     ``aug`` is uint64[m, words]; only the first ``num_cols`` columns are
     eligible pivots (the trailing column(s) are the augmented syndrome).
+    Dispatches to the native C kernel (native/gf2.c) when available.
     """
+    from ..native import gf2_row_reduce_native
+
+    native = gf2_row_reduce_native(aug, num_cols)
+    if native is not None:
+        aug[:] = native[0]
+        return aug, native[1]
     m = aug.shape[0]
     pivots = []
     r = 0
@@ -141,5 +148,10 @@ def ml_block_success(code: LDPCCode, erasure_mask: np.ndarray,
     if h is None:
         h = dense_parity_check(code)
     packed = _pack_rows(h[:, erased])
-    _, pivots = gf2_row_reduce(packed, e)
-    return len(pivots) == e
+    from ..native import gf2_rank_native
+
+    rank = gf2_rank_native(packed, e)
+    if rank is None:
+        _, pivots = gf2_row_reduce(packed, e)
+        rank = len(pivots)
+    return rank == e

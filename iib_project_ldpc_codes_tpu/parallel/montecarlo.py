@@ -34,7 +34,8 @@ from ..models.code import LDPCCode
 from ..models.ensemble import sample_check_table
 from ..models.code import code_from_checks
 from ..ops.bitops import bernoulli_packed
-from ..ops.erasure_bp import bp_decode_packed, bp_decode_packed_traj
+from ..ops.erasure_bp import (bp_decode_packed, bp_decode_packed_allzero,
+                              bp_decode_packed_traj)
 from ..utils.config import SimulationConfig
 from ..utils.results import SimulationResult
 from .mesh import BATCH_AXIS, make_mesh
@@ -56,9 +57,10 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
               expurgation: Optional[int]) -> ChunkStats:
     """Decode 32*words all-zero-codeword trials on one code."""
     erased = bernoulli_packed(key, erasure_prob, (n, words))
-    tx = jnp.zeros((n, words), jnp.uint32)
     if expurgation is None:
-        res = bp_decode_packed(code, erased, tx, iterations)
+        # all-zero transmit (the reference's only workload,
+        # parallel_simulator.py:222) -> known-mask-only fast path
+        res = bp_decode_packed_allzero(code, erased, iterations)
         return ChunkStats(
             error_totals=res.error_totals,
             block_errors=jnp.sum(res.failed).astype(jnp.int32),
@@ -68,6 +70,7 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
     # Expurgated ensemble: drop whole trials with <= s final erasures from
     # *all* statistics, while still counting them as trials
     # (parallel_simulator_expurgated.py:238-243).
+    tx = jnp.zeros((n, words), jnp.uint32)
     res, traj = bp_decode_packed_traj(code, erased, tx, iterations)
     final = traj[-1]
     include = final > expurgation

@@ -179,3 +179,21 @@ def test_monotonicity_and_fixed_point():
     err1, err2 = np.asarray(err1), np.asarray(err2)
     assert (np.diff(err1) <= 0).all()
     assert (np.asarray(dec1) == np.asarray(dec2)).all()
+
+
+def test_allzero_fast_path_bit_identical():
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import \
+        bp_decode_packed_allzero
+
+    n, W = 96, 2
+    code = sample_code(jax.random.key(21), n, 3, 6)
+    mask = BEC(0.42).erasure_mask(jax.random.key(22), (n, 32 * W))
+    erased = pack_bits(mask)
+    tx = jnp.zeros((n, W), jnp.uint32)
+    full = bp_decode_packed(code, erased, tx, 50)
+    fast = bp_decode_packed_allzero(code, erased, 50)
+    assert (np.asarray(full.known) == np.asarray(fast.known)).all()
+    assert (np.asarray(full.error_totals)
+            == np.asarray(fast.error_totals)).all()
+    assert int(full.iterations) == int(fast.iterations)
+    assert (np.asarray(full.failed) == np.asarray(fast.failed)).all()
