@@ -30,7 +30,7 @@ def main():
     n, dv, dc = 10_000, 3, 6
     iters = 50
     eps = 0.42
-    words = 256                      # 8192 trials per decode call
+    words = 512                      # 16384 trials per decode call
     batch = words * 32
     k = n * (dc - dv) // dc
 

@@ -136,42 +136,60 @@ class PackedBPResult:
         return per_trial_counts(~self.known, axis=0)
 
 
-def _packed_iteration(code: LDPCCode, val: jax.Array, known: jax.Array):
-    """One parallel BP round on packed state; pure bitwise VPU ops."""
+def _check_summaries(code: LDPCCode, val: jax.Array, known: jax.Array):
+    """Per-check round summaries: (exactly_one_unknown, xor_known).
+
+    Key identity: the only socket whose extrinsic message matters is an
+    *unknown* variable, and an unknown variable contributes nothing to the
+    masked XOR -- so the leave-one-out per-edge arrays of the reference
+    (message_passing.c:24-45) collapse to two per-check words per lane:
+
+      exactly_one[c] : exactly one participant unknown (that participant's
+                       extrinsic inputs are then all known),
+      xor_known[c]   : XOR of the known participants' values = the value
+                       the unique unknown must take.
+
+    This shrinks the variable-side gather table from [m*dc, W] to [m, W]
+    (6x smaller at dc=6) and skips materialising any per-edge message
+    array.
+    """
     dc = code.dc
     chk_flat = code.chk_to_var.reshape(-1)
     kn = jnp.take(known, chk_flat, axis=0).reshape(code.m, dc, -1)
-    vl = jnp.take(val, chk_flat, axis=0).reshape(code.m, dc, -1)
-
     full = jnp.uint32(0xFFFFFFFF)
-    # Prefix/suffix scans over the static socket axis: O(dc) instead of the
-    # reference's O(dc^2) leave-one-out loops (message_passing.c:30-37).
-    pre_and = [jnp.full_like(kn[:, 0], full)]
-    pre_xor = [jnp.zeros_like(vl[:, 0])]
+    pre = [jnp.full_like(kn[:, 0], full)]
     for j in range(dc - 1):
-        pre_and.append(pre_and[-1] & kn[:, j])
-        pre_xor.append(pre_xor[-1] ^ vl[:, j])
-    suf_and = [jnp.full_like(kn[:, 0], full)]
-    suf_xor = [jnp.zeros_like(vl[:, 0])]
+        pre.append(pre[-1] & kn[:, j])
+    suf = [jnp.full_like(kn[:, 0], full)]
     for j in range(dc - 1, 0, -1):
-        suf_and.append(suf_and[-1] & kn[:, j])
-        suf_xor.append(suf_xor[-1] ^ vl[:, j])
-    suf_and.reverse()
-    suf_xor.reverse()
+        suf.append(suf[-1] & kn[:, j])
+    suf.reverse()
+    exactly_one = jnp.zeros_like(kn[:, 0])
+    for j in range(dc):
+        exactly_one = exactly_one | (~kn[:, j] & pre[j] & suf[j])
 
-    valid = jnp.stack([pre_and[j] & suf_and[j] for j in range(dc)], axis=1)
-    mcv = jnp.stack([pre_xor[j] ^ suf_xor[j] for j in range(dc)], axis=1)
+    if val is None:
+        return exactly_one, None
+    vl = jnp.take(val, chk_flat, axis=0).reshape(code.m, dc, -1)
+    xor_known = jnp.zeros_like(vl[:, 0])
+    for j in range(dc):
+        xor_known = xor_known ^ (vl[:, j] & kn[:, j])
+    return exactly_one, xor_known
 
-    e_valid = valid.reshape(code.m * dc, -1)
-    e_val = (mcv & valid).reshape(code.m * dc, -1)
-    v2e = code.var_to_edge.reshape(-1)
-    g_valid = jnp.take(e_valid, v2e, axis=0).reshape(code.n, code.dv, -1)
-    g_val = jnp.take(e_val, v2e, axis=0).reshape(code.n, code.dv, -1)
 
-    any_valid = jnp.bitwise_or.reduce(g_valid, axis=1)
+def _packed_iteration(code: LDPCCode, val: jax.Array, known: jax.Array):
+    """One parallel BP round on packed state; pure bitwise VPU ops."""
+    exactly_one, xor_known = _check_summaries(code, val, known)
+    v2c = code.var_to_chk.reshape(-1)
+    g_ready = jnp.take(exactly_one, v2c, axis=0
+                       ).reshape(code.n, code.dv, -1)
+    g_val = jnp.take(exactly_one & xor_known, v2c, axis=0
+                     ).reshape(code.n, code.dv, -1)
+    # a ready check adjacent to an *unknown* v must have v as its unique
+    # unknown; for known v lanes the update is masked out below
+    any_ready = jnp.bitwise_or.reduce(g_ready, axis=1)
     adopt = jnp.bitwise_or.reduce(g_val, axis=1)
-
-    new_known = known | any_valid
+    new_known = known | any_ready
     new_val = val | (adopt & ~known)
     return new_val, new_known
 
@@ -221,25 +239,13 @@ def _packed_iteration_allzero(code: LDPCCode, known: jax.Array) -> jax.Array:
 
     Every reference simulation sends the all-zero codeword
     (parallel_simulator.py:222, simulator.py:253), so the value planes stay
-    identically zero and the message algebra reduces to validity
-    propagation -- half the gather traffic of :func:`_packed_iteration`.
+    identically zero and the round is pure validity propagation via the
+    per-check exactly-one-unknown summary (see :func:`_check_summaries`).
     """
-    dc = code.dc
-    kn = jnp.take(known, code.chk_to_var.reshape(-1), axis=0
-                  ).reshape(code.m, dc, -1)
-    full = jnp.uint32(0xFFFFFFFF)
-    pre = [jnp.full_like(kn[:, 0], full)]
-    for j in range(dc - 1):
-        pre.append(pre[-1] & kn[:, j])
-    suf = [jnp.full_like(kn[:, 0], full)]
-    for j in range(dc - 1, 0, -1):
-        suf.append(suf[-1] & kn[:, j])
-    suf.reverse()
-    valid = jnp.stack([pre[j] & suf[j] for j in range(dc)], axis=1)
-    g_valid = jnp.take(valid.reshape(code.m * dc, -1),
-                       code.var_to_edge.reshape(-1), axis=0
+    exactly_one, _ = _check_summaries(code, None, known)
+    g_ready = jnp.take(exactly_one, code.var_to_chk.reshape(-1), axis=0
                        ).reshape(code.n, code.dv, -1)
-    return known | jnp.bitwise_or.reduce(g_valid, axis=1)
+    return known | jnp.bitwise_or.reduce(g_ready, axis=1)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))

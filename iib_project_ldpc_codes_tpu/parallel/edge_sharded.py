@@ -47,7 +47,13 @@ def _or_all_reduce(x: jax.Array, axis_name: str) -> jax.Array:
 
 def _local_round(chk_local: jax.Array, known: jax.Array, dc: int
                  ) -> jax.Array:
-    """Candidate plane from this device's check shard."""
+    """Candidate plane from this device's check shard.
+
+    Scatters the per-check exactly-one-unknown summary to all of the
+    check's variables: known participants absorb the OR harmlessly, the
+    unique unknown becomes resolvable -- same identity as
+    ops.erasure_bp._check_summaries.
+    """
     kn = jnp.take(known, chk_local.reshape(-1), axis=0
                   ).reshape(chk_local.shape[0], dc, -1)
     full = jnp.uint32(0xFFFFFFFF)
@@ -58,10 +64,13 @@ def _local_round(chk_local: jax.Array, known: jax.Array, dc: int
     for j in range(dc - 1, 0, -1):
         suf.append(suf[-1] & kn[:, j])
     suf.reverse()
-    valid = jnp.stack([pre[j] & suf[j] for j in range(dc)], axis=1)
+    exactly_one = jnp.zeros_like(kn[:, 0])
+    for j in range(dc):
+        exactly_one = exactly_one | (~kn[:, j] & pre[j] & suf[j])
+    values = jnp.broadcast_to(exactly_one[:, None, :],
+                              kn.shape).reshape(chk_local.size, -1)
     cand = jnp.zeros_like(known)
-    return jnp.bitwise_or.at(cand, chk_local.reshape(-1),
-                             valid.reshape(chk_local.size, -1),
+    return jnp.bitwise_or.at(cand, chk_local.reshape(-1), values,
                              inplace=False)
 
 

@@ -201,6 +201,16 @@ def peeling_drift(erasure_prob: float, dv: int, dc: int, n: int, steps
     return dv * n * peeling_drift_normalized(erasure_prob, dv, dc, y)
 
 
+def check_degree_fraction(erasure_prob: float, dv: int, dc: int, degree: int,
+                          y) -> np.ndarray:
+    """Expected fraction of residual checks with the given degree at
+    peeling time y: C(dc,d) (eps y^(dv-1))^d (1 - eps y^(dv-1))^(dc-1)
+    (test_peeling_decoder_path.py:18-20)."""
+    y = np.asarray(y, float)
+    x = erasure_prob * y ** (dv - 1)
+    return math.comb(dc, degree) * x ** degree * (1.0 - x) ** (dc - 1)
+
+
 def calculate_crit_point(erasure_prob: float, dv: int, dc: int,
                          tol: float = 1e-8) -> float:
     """Fixed point x where the peeling drift is tangent to zero

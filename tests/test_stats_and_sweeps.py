@@ -1,0 +1,136 @@
+"""Statistical acceptance tests + sweep drivers.
+
+These are the BER/FER parity tests SURVEY.md section 4 prescribes: Monte
+Carlo results must be statistically consistent with density evolution,
+the waterfall scaling law, and per-code concentration.
+"""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.models import sample_code
+from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+from iib_project_ldpc_codes_tpu.utils import theory
+from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+from iib_project_ldpc_codes_tpu.utils.stats import (clopper_pearson,
+                                                    compare_fer, fer_ci,
+                                                    required_trials_for_fer,
+                                                    wilson, _norm_ppf)
+from iib_project_ldpc_codes_tpu.utils.sweeps import (concentration_study,
+                                                     sweep_block_length,
+                                                     sweep_channel_param)
+
+
+def test_clopper_pearson_properties():
+    lo, hi = clopper_pearson(0, 100)
+    assert lo == 0.0 and 0.02 < hi < 0.05
+    lo, hi = clopper_pearson(100, 100)
+    assert hi == 1.0 and lo > 0.95
+    lo, hi = clopper_pearson(200, 1000)
+    assert lo < 0.2 < hi
+    # ~14% relative precision at 200 errors (SURVEY.md hard-parts note)
+    assert (hi - lo) / 2 / 0.2 < 0.16
+
+
+def test_wilson_close_to_cp():
+    for k, n in [(5, 100), (50, 500), (200, 1000)]:
+        cp = clopper_pearson(k, n)
+        wi = wilson(k, n)
+        assert abs(cp[0] - wi[0]) < 0.02
+        assert abs(cp[1] - wi[1]) < 0.02
+
+
+def test_norm_ppf():
+    assert _norm_ppf(0.975) == pytest.approx(1.959964, abs=1e-4)
+    assert _norm_ppf(0.5) == pytest.approx(0.0, abs=1e-9)
+    assert _norm_ppf(0.025) == pytest.approx(-1.959964, abs=1e-4)
+
+
+def test_required_trials():
+    # 200 block errors at FER ~ p needs ~ 200/p trials; the CI formula
+    # should give the same order
+    t = required_trials_for_fer(0.01, rel_precision=0.14)
+    assert 15_000 < t < 25_000
+
+
+def test_fer_consistent_with_deep_subthreshold():
+    """Far below threshold at moderate n, FER is tiny: CI must include
+    the waterfall prediction ~ 0."""
+    cfg = SimulationConfig(channel_param=0.30, n=1024, decoder="bp",
+                           iterations=80, num_tests=2048, batch=1024,
+                           max_block_errors=10**9, code_mode="fixed")
+    code = sample_code(jax.random.key(0), cfg.n, 3, 6)
+    res = run_simulation(cfg, code=code)
+    lo, hi = fer_ci(res)
+    expected = float(theory.waterfall_block_error(1024, [0.30])[0])
+    assert lo <= max(expected, 1e-12) <= max(hi, 1e-12)
+    assert res.block_error_rate < 0.01
+
+
+def test_fer_against_waterfall_near_threshold():
+    """Near threshold the scaling law (with finite-size shift) must sit
+    within the widened Monte Carlo CI (model error O(n^-1/3) absorbed via
+    slack)."""
+    eps = 0.415
+    n = 2048
+    cfg = SimulationConfig(channel_param=eps, n=n, decoder="bp",
+                           iterations=100, num_tests=4096, batch=2048,
+                           max_block_errors=10**9, code_mode="ensemble",
+                           codes_per_chunk=64)
+    res = run_simulation(cfg)
+    predicted = float(theory.waterfall_block_error(
+        n, [eps], finite_size_shift=True)[0])
+    verdict = compare_fer(res, predicted, slack=0.35)
+    assert verdict.consistent, str(verdict)
+
+
+def test_iteration_curve_tracks_density_evolution():
+    """Early-iteration average bit erasure rates converge to DE as n grows
+    (SURVEY.md section 4 item 1)."""
+    eps = 0.40
+    cfg = SimulationConfig(channel_param=eps, n=8192, decoder="bp",
+                           iterations=10, num_tests=4096, batch=2048,
+                           max_block_errors=10**9, code_mode="ensemble",
+                           codes_per_chunk=64)
+    res = run_simulation(cfg)
+    de = theory.modified_density_evolution(eps, 10, 3, 6)
+    sim = res.error_rate_per_iteration
+    for t in range(1, 6):
+        # relative agreement a few percent at n=8192 for early iterations
+        assert abs(sim[t] - de[t]) / de[t] < 0.05, (t, sim[t], de[t])
+
+
+def test_sweep_channel_param():
+    code = sample_code(jax.random.key(1), 512, 3, 6)
+    base = SimulationConfig(n=512, decoder="bp", iterations=50,
+                            num_tests=512, batch=512,
+                            max_block_errors=10**9, code_mode="fixed")
+    rs = sweep_channel_param(base, [0.35, 0.40, 0.45], code=code)
+    fers = [r.block_error_rate for r in rs]
+    assert fers[0] <= fers[1] <= fers[2]
+    assert rs[0].config.channel_param == 0.35
+
+
+def test_sweep_block_length():
+    base = SimulationConfig(channel_param=0.40, decoder="bp",
+                            iterations=60, num_tests=512, batch=512,
+                            max_block_errors=10**9, code_mode="fixed")
+    rs = sweep_block_length(base, [256, 1024])
+    # below threshold: larger n decodes better
+    assert rs[1].block_error_rate <= rs[0].block_error_rate + 0.05
+    assert [r.config.n for r in rs] == [256, 1024]
+
+
+def test_concentration_study():
+    base = SimulationConfig(channel_param=0.42, n=512, decoder="bp",
+                            iterations=50, num_tests=1024, batch=1024,
+                            max_block_errors=10**9)
+    rs = concentration_study(base, range(1, 5))
+    rates = np.array([r.bit_error_rate for r in rs])
+    # different codes, same ensemble: rates concentrate (within ~3x)
+    assert rates.max() <= max(3 * rates.min(), rates.min() + 0.02)
+    # codes are genuinely different objects
+    assert len({r.config.code_number for r in rs}) == 4
