@@ -20,6 +20,8 @@ the reference lacks (random_code_generator.c:23 ignores its seed).
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import time
 from datetime import datetime
 from functools import partial
@@ -424,6 +426,31 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     error_totals = np.zeros(cfg.iterations + 1, np.int64)
     block_errors = bit_errors = excluded = 0
     stopped_by = "num_tests"
+
+    # Resume from a counter snapshot: chunk keys are pure functions of
+    # (seed, chunk_idx), so a resumed run is bit-identical to an
+    # uninterrupted one.
+    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        with open(cfg.checkpoint_path) as f:
+            ck = json.load(f)
+        if ck["seed"] == cfg.seed and ck["batch"] == cfg.batch:
+            trials = ck["trials"]
+            chunk_idx = ck["chunk_idx"]
+            error_totals = np.asarray(ck["error_totals"], np.int64)
+            block_errors = ck["block_errors"]
+            bit_errors = ck["bit_errors"]
+            excluded = ck["excluded"]
+
+    def write_checkpoint():
+        tmp = cfg.checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dict(seed=cfg.seed, batch=cfg.batch, trials=trials,
+                           chunk_idx=chunk_idx,
+                           error_totals=error_totals.tolist(),
+                           block_errors=block_errors,
+                           bit_errors=bit_errors, excluded=excluded), f)
+        os.replace(tmp, cfg.checkpoint_path)
+
     while trials < cfg.num_tests:
         stats = chunk_fn(jax.random.fold_in(key, chunk_idx))
         stats = jax.device_get(stats)
@@ -433,12 +460,17 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         excluded += int(stats.excluded)
         trials += cfg.batch
         chunk_idx += 1
+        if cfg.checkpoint_path and \
+                chunk_idx % cfg.checkpoint_every_chunks == 0:
+            write_checkpoint()
         if block_errors >= cfg.max_block_errors:
             stopped_by = "block_errors"
             break
         if time.time() - start > cfg.max_seconds:
             stopped_by = "wall_clock"
             break
+    if cfg.checkpoint_path:
+        write_checkpoint()
 
     elapsed = time.time() - start
     denom = cfg.n * trials

@@ -55,6 +55,11 @@ class SimulationConfig:
     # IO
     output_dir: str = "results"
     write_legacy_csv: bool = False
+    # Periodic counter snapshots for resumable long sweeps (SURVEY.md
+    # section 5: the reference never checkpoints Monte Carlo state; its
+    # "resume" is running more shards).  None disables.
+    checkpoint_path: Optional[str] = None
+    checkpoint_every_chunks: int = 10
 
     @property
     def k(self) -> int:

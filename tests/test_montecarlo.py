@@ -135,3 +135,34 @@ def test_reference_argv_parsing():
         ["0.4", "1000", "50", "512", "3", "6", "5", "3"])
     assert cfg5.decoder == "both" and cfg5.code_mode == "fixed"
     assert cfg5.code_number == 3
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """An interrupted+resumed run equals an uninterrupted one exactly."""
+    ckpt = str(tmp_path / "state.json")
+    cfg_full = small_cfg(num_tests=2048, batch=256)
+    code = sample_code(jax.random.key(1), cfg_full.n, cfg_full.dv,
+                       cfg_full.dc)
+    full = run_simulation(cfg_full, code=code)
+
+    cfg_half = small_cfg(num_tests=1024, batch=256, checkpoint_path=ckpt,
+                         checkpoint_every_chunks=2)
+    run_simulation(cfg_half, code=code)
+    cfg_resume = small_cfg(num_tests=2048, batch=256, checkpoint_path=ckpt)
+    resumed = run_simulation(cfg_resume, code=code)
+
+    assert resumed.num_trials == full.num_trials
+    assert resumed.block_errors == full.block_errors
+    assert resumed.bit_errors == full.bit_errors
+    assert resumed.error_counts_per_iteration == \
+        full.error_counts_per_iteration
+
+
+def test_checkpoint_ignored_on_seed_change(tmp_path):
+    ckpt = str(tmp_path / "state.json")
+    code = sample_code(jax.random.key(1), 96, 3, 6)
+    run_simulation(small_cfg(num_tests=512, batch=256,
+                             checkpoint_path=ckpt), code=code)
+    fresh = run_simulation(small_cfg(num_tests=512, batch=256, seed=99,
+                                     checkpoint_path=ckpt), code=code)
+    assert fresh.num_trials == 512  # restarted, not resumed
