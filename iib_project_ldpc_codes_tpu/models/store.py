@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from typing import Tuple
 
-import jax
 import numpy as np
 
 from .code import LDPCCode, code_from_dense, dense_parity_check

@@ -26,10 +26,6 @@ cost (the [E, W] gathers) by the device count.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

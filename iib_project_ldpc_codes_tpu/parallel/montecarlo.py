@@ -24,13 +24,12 @@ import json
 import os
 import time
 from datetime import datetime
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.code import LDPCCode
 from ..models.ensemble import sample_check_table

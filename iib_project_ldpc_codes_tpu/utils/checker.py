@@ -9,12 +9,11 @@ codewords, used to sanity-check expurgation assumptions).
 
 from __future__ import annotations
 
-import itertools
 from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..models.code import LDPCCode, code_from_dense, dense_parity_check
+from ..models.code import LDPCCode, dense_parity_check
 
 
 def lookups_from_dense(h: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

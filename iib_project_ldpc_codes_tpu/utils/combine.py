@@ -14,12 +14,11 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .results import (SimulationResult, load_result, read_legacy_csv,
-                      save_result)
+from .results import SimulationResult, load_result, save_result
 
 #: config fields that must agree for shards to be mergeable
 MERGE_KEYS = ("channel", "channel_param", "n", "dv", "dc", "decoder",

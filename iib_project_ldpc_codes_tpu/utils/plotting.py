@@ -11,7 +11,7 @@ save or show.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

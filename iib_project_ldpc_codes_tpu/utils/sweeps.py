@@ -9,7 +9,7 @@ device mesh inside each point instead of across points.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
 from ..models.ensemble import sample_code
 from .config import SimulationConfig
