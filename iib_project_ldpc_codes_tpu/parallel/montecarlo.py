@@ -35,8 +35,7 @@ from ..models.code import LDPCCode
 from ..models.ensemble import sample_check_table
 from ..models.code import code_from_checks
 from ..ops.bitops import bernoulli_packed
-from ..ops.erasure_bp import (bp_decode_packed, bp_decode_packed_allzero,
-                              bp_decode_packed_traj)
+from ..ops.erasure_bp import bp_decode_packed, bp_decode_packed_allzero
 from ..utils.config import SimulationConfig
 from ..utils.results import SimulationResult
 from .mesh import BATCH_AXIS, make_mesh
@@ -71,12 +70,24 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
     # Expurgated ensemble: drop whole trials with <= s final erasures from
     # *all* statistics, while still counting them as trials
     # (parallel_simulator_expurgated.py:238-243).
-    tx = jnp.zeros((n, words), jnp.uint32)
-    res, traj = bp_decode_packed_traj(code, erased, tx, iterations)
-    final = traj[-1]
-    include = final > expurgation
+    #
+    # Two-pass formulation: pass 1 decodes normally and reads only the
+    # final per-trial counts (one 32-plane extraction total); pass 2
+    # re-decodes with the excluded trials' erasures masked out, so those
+    # trials contribute zero to every per-iteration total -- the plain
+    # scalar totals then equal the expurgated sums exactly (the decode is
+    # a deterministic function of the erasure pattern).  ~2x decode cost
+    # instead of ~30x for per-iteration per-trial counting.
+    from ..ops.bitops import pack_bits
+
+    res1 = bp_decode_packed_allzero(code, erased, iterations)
+    final = res1.bit_errors                                  # int32[B]
+    include = final > expurgation                            # bool[B]
+    include_words = pack_bits(include[None, :])[0]           # uint32[W]
+    res2 = bp_decode_packed_allzero(
+        code, erased & include_words[None, :], iterations)
     return ChunkStats(
-        error_totals=jnp.sum(traj * include[None, :], axis=1),
+        error_totals=res2.error_totals,
         block_errors=jnp.sum(include & (final > 0)).astype(jnp.int32),
         bit_errors=jnp.sum(final * include).astype(jnp.int32),
         excluded=jnp.sum(~include).astype(jnp.int32),
