@@ -95,12 +95,14 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
 
 
 def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
-                    iterations: int, crossover_prob) -> ChunkStats:
-    """BSC hard-decision chunk: packed flip mask -> Gallager-A decode."""
+                    iterations: int, crossover_prob,
+                    threshold=None) -> ChunkStats:
+    """BSC hard-decision chunk: packed flip mask -> Gallager-A/B decode."""
     from ..ops.gallager import gallager_decode_packed
 
     received = bernoulli_packed(key, crossover_prob, (n, words))
-    res = gallager_decode_packed(code, received, iterations)
+    res = gallager_decode_packed(code, received, iterations,
+                                 threshold=threshold)
     return ChunkStats(
         error_totals=res.error_totals,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),
@@ -111,7 +113,8 @@ def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
 
 def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
                 iterations: int, channel: str, channel_param,
-                method: str) -> ChunkStats:
+                method: str, alpha: float = 1.0, beta: float = 0.0
+                ) -> ChunkStats:
     """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP."""
     from ..ops.channels import AWGN, BSC
     from ..ops.soft_bp import soft_bp_decode
@@ -123,7 +126,8 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
     else:
         ch = BSC(channel_param)
         llr = ch.llr(ch.transmit(key, zeros))
-    res = soft_bp_decode(code, llr, iterations, method=method)
+    res = soft_bp_decode(code, llr, iterations, method=method,
+                         alpha=alpha, beta=beta)
     return ChunkStats(
         error_totals=res.error_totals,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),
@@ -189,11 +193,13 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         if pair == ("BSC", "gallager"):
             return _gallager_chunk(c, key, n=cfg.n, words=words,
                                    iterations=cfg.iterations,
-                                   crossover_prob=cfg.channel_param)
+                                   crossover_prob=cfg.channel_param,
+                                   threshold=cfg.gallager_threshold)
         return _soft_chunk(c, key, n=cfg.n, batch=words * 32,
                            iterations=cfg.iterations, channel=cfg.channel,
                            channel_param=cfg.channel_param,
-                           method=cfg.decoder)
+                           method=cfg.decoder, alpha=cfg.minsum_alpha,
+                           beta=cfg.minsum_beta)
 
     if cfg.code_mode == "fixed":
         if code is None:
@@ -234,11 +240,13 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
                         return _gallager_chunk(
                             c, noise_key, n=cfg.n, words=sub_words,
                             iterations=cfg.iterations,
-                            crossover_prob=cfg.channel_param)
+                            crossover_prob=cfg.channel_param,
+                            threshold=cfg.gallager_threshold)
                     return _soft_chunk(
                         c, noise_key, n=cfg.n, batch=sub_words * 32,
                         iterations=cfg.iterations, channel=cfg.channel,
-                        channel_param=cfg.channel_param, method=cfg.decoder)
+                        channel_param=cfg.channel_param, method=cfg.decoder,
+                        alpha=cfg.minsum_alpha, beta=cfg.minsum_beta)
 
                 stats = jax.vmap(one)(code_keys, noise_keys)
                 return ChunkStats(

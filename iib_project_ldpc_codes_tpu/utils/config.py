@@ -38,6 +38,9 @@ class SimulationConfig:
     # Decoder
     decoder: str = "bp"           # "bp" | "ml" | "both" | "peeling"
     iterations: int = 50          # BP budget (reference envelope 50-200)
+    gallager_threshold: Optional[int] = None  # None -> Gallager-A (dv-1)
+    minsum_alpha: float = 1.0     # normalised min-sum scale
+    minsum_beta: float = 0.0      # offset min-sum correction
 
     # Stopping rules (parallel_simulator.py:198)
     num_tests: int = 100_000

@@ -93,3 +93,29 @@ def test_cli_usage_error():
     r = _run_cli(["0.4", "10"])
     assert r.returncode == 2
     assert "Reference-compatible" in r.stdout
+
+
+def test_gallager_b_threshold_option():
+    """Gallager-B (t=1) differs from A (t=dv-1=2) and is wired through."""
+    cfg_a = SimulationConfig(channel="BSC", channel_param=0.03, n=504,
+                             dv=3, dc=6, decoder="gallager", iterations=20,
+                             num_tests=256, batch=256,
+                             max_block_errors=10**9, code_mode="fixed")
+    cfg_b = SimulationConfig(channel="BSC", channel_param=0.03, n=504,
+                             dv=3, dc=6, decoder="gallager", iterations=20,
+                             gallager_threshold=1, num_tests=256, batch=256,
+                             max_block_errors=10**9, code_mode="fixed")
+    code = sample_code(jax.random.key(4), 504, 3, 6)
+    ra = run_simulation(cfg_a, code=code)
+    rb = run_simulation(cfg_b, code=code)
+    assert ra.bit_errors != rb.bit_errors  # different update rules
+
+
+def test_minsum_alpha_option():
+    cfg = SimulationConfig(channel="AWGN", channel_param=0.85, n=96, dv=3,
+                           dc=6, decoder="minsum", minsum_alpha=0.75,
+                           iterations=15, num_tests=128, batch=128,
+                           max_block_errors=10**9, code_mode="fixed")
+    code = sample_code(jax.random.key(5), 96, 3, 6)
+    r = run_simulation(cfg, code=code)
+    assert r.num_trials == 128
