@@ -379,11 +379,12 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     """Monte Carlo with the peeling decoder (sequential R-process decode;
     the reference runs this only in its standalone experiment,
     peeling_decoder.py:136-168 -- here it is a first-class decoder)."""
+    from ..models.ensemble import sample_code as _sample_code
     from ..ops.channels import BEC
     from ..ops.peeling import peel_decode_batch
 
-    if code is None:
-        raise ValueError("peeling driver requires a fixed code")
+    if code is None and cfg.code_mode == "fixed":
+        raise ValueError("fixed code_mode requires a code")
     key = jax.random.key(cfg.seed)
     start = time.time()
     trials = chunk_idx = 0
@@ -393,9 +394,11 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     batch = min(cfg.batch, 1024)
     while trials < cfg.num_tests:
         ck = jax.random.fold_in(key, chunk_idx)
-        k_noise, k_peel = jax.random.split(ck)
+        k_noise, k_peel, k_code = jax.random.split(ck, 3)
+        chunk_code = code if code is not None else _sample_code(
+            k_code, cfg.n, cfg.dv, cfg.dc, cfg.sampler)
         rxs = ch.transmit(k_noise, jnp.zeros((batch, cfg.n), jnp.int32))
-        res = peel_decode_batch(code, rxs, k_peel)
+        res = peel_decode_batch(chunk_code, rxs, k_peel)
         remaining = np.asarray(jax.vmap(lambda u: jnp.sum(u))(res.unresolved))
         block_errors += int((remaining > 0).sum())
         bit_errors += int(remaining.sum())

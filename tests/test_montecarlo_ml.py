@@ -59,3 +59,11 @@ def test_peeling_driver_matches_bp_rates():
     rb = run_simulation(cfg_b, code=code)
     assert abs(rp.block_error_rate - rb.block_error_rate) < 0.12
     assert rp.num_trials == rb.num_trials == 512
+
+
+def test_peeling_ensemble_mode():
+    cfg = cfg_for("peeling", n=96, num_tests=256, batch=128,
+                  code_mode="ensemble", channel_param=0.45)
+    res = run_simulation(cfg)
+    assert res.num_trials == 256
+    assert 0 <= res.block_error_rate <= 1
