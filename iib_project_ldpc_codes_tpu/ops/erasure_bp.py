@@ -153,42 +153,49 @@ def _check_summaries(code: LDPCCode, val: jax.Array, known: jax.Array):
     (6x smaller at dc=6) and skips materialising any per-edge message
     array.
     """
+    # Per-socket gathers ([m, W] each) instead of one [E, W] gather +
+    # reshape: the [m, dc, W] intermediate makes kn[:, j] a strided
+    # sublane access XLA handles poorly -- the per-socket form measured
+    # 2.8x faster on v5e.
     dc = code.dc
-    chk_flat = code.chk_to_var.reshape(-1)
-    kn = jnp.take(known, chk_flat, axis=0).reshape(code.m, dc, -1)
+    kns = [jnp.take(known, code.chk_to_var[:, j], axis=0)
+           for j in range(dc)]
     full = jnp.uint32(0xFFFFFFFF)
-    pre = [jnp.full_like(kn[:, 0], full)]
+    pre = [jnp.full_like(kns[0], full)]
     for j in range(dc - 1):
-        pre.append(pre[-1] & kn[:, j])
-    suf = [jnp.full_like(kn[:, 0], full)]
+        pre.append(pre[-1] & kns[j])
+    suf = [jnp.full_like(kns[0], full)]
     for j in range(dc - 1, 0, -1):
-        suf.append(suf[-1] & kn[:, j])
+        suf.append(suf[-1] & kns[j])
     suf.reverse()
-    exactly_one = jnp.zeros_like(kn[:, 0])
+    exactly_one = jnp.zeros_like(kns[0])
     for j in range(dc):
-        exactly_one = exactly_one | (~kn[:, j] & pre[j] & suf[j])
+        exactly_one = exactly_one | (~kns[j] & pre[j] & suf[j])
 
     if val is None:
         return exactly_one, None
-    vl = jnp.take(val, chk_flat, axis=0).reshape(code.m, dc, -1)
-    xor_known = jnp.zeros_like(vl[:, 0])
+    xor_known = jnp.zeros_like(exactly_one)
     for j in range(dc):
-        xor_known = xor_known ^ (vl[:, j] & kn[:, j])
+        vl_j = jnp.take(val, code.chk_to_var[:, j], axis=0)
+        xor_known = xor_known ^ (vl_j & kns[j])
     return exactly_one, xor_known
+
+
+def _gather_or_by_variable(code: LDPCCode, table: jax.Array) -> jax.Array:
+    """OR over each variable's adjacent checks of a per-check plane."""
+    acc = jnp.take(table, code.var_to_chk[:, 0], axis=0)
+    for j in range(1, code.dv):
+        acc = acc | jnp.take(table, code.var_to_chk[:, j], axis=0)
+    return acc
 
 
 def _packed_iteration(code: LDPCCode, val: jax.Array, known: jax.Array):
     """One parallel BP round on packed state; pure bitwise VPU ops."""
     exactly_one, xor_known = _check_summaries(code, val, known)
-    v2c = code.var_to_chk.reshape(-1)
-    g_ready = jnp.take(exactly_one, v2c, axis=0
-                       ).reshape(code.n, code.dv, -1)
-    g_val = jnp.take(exactly_one & xor_known, v2c, axis=0
-                     ).reshape(code.n, code.dv, -1)
     # a ready check adjacent to an *unknown* v must have v as its unique
     # unknown; for known v lanes the update is masked out below
-    any_ready = jnp.bitwise_or.reduce(g_ready, axis=1)
-    adopt = jnp.bitwise_or.reduce(g_val, axis=1)
+    any_ready = _gather_or_by_variable(code, exactly_one)
+    adopt = _gather_or_by_variable(code, exactly_one & xor_known)
     new_known = known | any_ready
     new_val = val | (adopt & ~known)
     return new_val, new_known
@@ -243,9 +250,7 @@ def _packed_iteration_allzero(code: LDPCCode, known: jax.Array) -> jax.Array:
     per-check exactly-one-unknown summary (see :func:`_check_summaries`).
     """
     exactly_one, _ = _check_summaries(code, None, known)
-    g_ready = jnp.take(exactly_one, code.var_to_chk.reshape(-1), axis=0
-                       ).reshape(code.n, code.dv, -1)
-    return known | jnp.bitwise_or.reduce(g_ready, axis=1)
+    return known | _gather_or_by_variable(code, exactly_one)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))

@@ -50,24 +50,25 @@ def _local_round(chk_local: jax.Array, known: jax.Array, dc: int
     unique unknown becomes resolvable -- same identity as
     ops.erasure_bp._check_summaries.
     """
-    kn = jnp.take(known, chk_local.reshape(-1), axis=0
-                  ).reshape(chk_local.shape[0], dc, -1)
+    # per-socket gathers (see ops/erasure_bp._check_summaries: avoids the
+    # strided [m_local, dc, W] intermediate)
+    kns = [jnp.take(known, chk_local[:, j], axis=0) for j in range(dc)]
     full = jnp.uint32(0xFFFFFFFF)
-    pre = [jnp.full_like(kn[:, 0], full)]
+    pre = [jnp.full_like(kns[0], full)]
     for j in range(dc - 1):
-        pre.append(pre[-1] & kn[:, j])
-    suf = [jnp.full_like(kn[:, 0], full)]
+        pre.append(pre[-1] & kns[j])
+    suf = [jnp.full_like(kns[0], full)]
     for j in range(dc - 1, 0, -1):
-        suf.append(suf[-1] & kn[:, j])
+        suf.append(suf[-1] & kns[j])
     suf.reverse()
-    exactly_one = jnp.zeros_like(kn[:, 0])
+    exactly_one = jnp.zeros_like(kns[0])
     for j in range(dc):
-        exactly_one = exactly_one | (~kn[:, j] & pre[j] & suf[j])
-    values = jnp.broadcast_to(exactly_one[:, None, :],
-                              kn.shape).reshape(chk_local.size, -1)
+        exactly_one = exactly_one | (~kns[j] & pre[j] & suf[j])
     cand = jnp.zeros_like(known)
-    return jnp.bitwise_or.at(cand, chk_local.reshape(-1), values,
-                             inplace=False)
+    for j in range(dc):
+        cand = jnp.bitwise_or.at(cand, chk_local[:, j], exactly_one,
+                                 inplace=False)
+    return cand
 
 
 def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
