@@ -89,44 +89,59 @@ class GallagerResult:
 
 def _gallager_iteration(code: LDPCCode, channel: jax.Array, mvc: jax.Array,
                         threshold: int):
-    """One flooding round; ``mvc`` is uint32[E, W] edge-resident bits."""
+    """One flooding round; ``mvc`` is uint32[dc, m, W] socket-major bits.
+
+    Socket-major storage keeps every per-socket plane contiguous (the
+    check-major [m, dc, W] layout makes them strided sublane slices XLA
+    lowers poorly -- same finding as ops/erasure_bp._check_summaries).
+    """
     m, dc, dv = code.m, code.dc, code.dv
-    rows = mvc.reshape(m, dc, -1)
 
-    # extrinsic XOR via prefix/suffix scans
-    pre = [jnp.zeros_like(rows[:, 0])]
+    # extrinsic XOR via prefix/suffix scans over contiguous planes
+    pre = [jnp.zeros_like(mvc[0])]
     for j in range(dc - 1):
-        pre.append(pre[-1] ^ rows[:, j])
-    suf = [jnp.zeros_like(rows[:, 0])]
+        pre.append(pre[-1] ^ mvc[j])
+    suf = [jnp.zeros_like(mvc[0])]
     for j in range(dc - 1, 0, -1):
-        suf.append(suf[-1] ^ rows[:, j])
+        suf.append(suf[-1] ^ mvc[j])
     suf.reverse()
-    mcv = jnp.stack([pre[j] ^ suf[j] for j in range(dc)], axis=1)
-    mcv_e = mcv.reshape(m * dc, -1)
+    mcv = jnp.stack([pre[j] ^ suf[j] for j in range(dc)])  # [dc, m, W]
+    mcv_flat = mcv.reshape(dc * m, -1)
 
-    # gather to variables: [n, dv, W]
-    g = jnp.take(mcv_e, code.var_to_edge.reshape(-1), axis=0
-                 ).reshape(code.n, dv, -1)
-    disagree = [g[:, j] ^ channel for j in range(dv)]
+    # gather to variables, one socket at a time: edge e = c*dc + j of
+    # variable socket p lives at flat index j*m + c in socket-major layout
+    disagree = []
+    for p in range(dv):
+        e = code.var_to_edge[:, p]
+        idx = (e % dc) * m + e // dc
+        disagree.append(jnp.take(mcv_flat, idx, axis=0) ^ channel)
 
-    # variable update per outgoing edge j: count disagreements among others
+    # variable update per outgoing socket p: count disagreements among the
+    # other dv-1 incoming messages
     out = []
-    for j in range(dv):
-        others = [disagree[l] for l in range(dv) if l != j]
+    for p in range(dv):
+        others = [disagree[l] for l in range(dv) if l != p]
         flip = _bitsliced_count_ge(others, threshold)
         out.append(channel ^ flip)
-    new_mvc_by_var = jnp.stack(out, axis=1)  # [n, dv, W]
+    out_flat = jnp.stack(out).reshape(dv * code.n, -1)  # [dv*n, W]
 
-    # scatter back to edge order = gather with inverse permutation: edge e
-    # belongs to variable chk_flat[e] at socket position found via
-    # var_to_edge; build inverse once per call (static arrays).
-    inv = jnp.zeros((code.n * dv,), jnp.int32)
-    inv = inv.at[code.var_to_edge.reshape(-1)].set(
-        jnp.arange(code.n * dv, dtype=jnp.int32))
-    new_mvc = jnp.take(new_mvc_by_var.reshape(code.n * dv, -1), inv, axis=0)
+    # route back to socket-major check layout: the message on edge
+    # (c, j) comes from variable v = chk_to_var[c, j] at its socket
+    # p = socket_of_edge(c, j); build p via a scatter of var_to_edge.
+    soe = jnp.zeros((code.n * dv,), jnp.int32)
+    for p in range(dv):
+        soe = soe.at[code.var_to_edge[:, p]].set(p)
+    # edge ids for check socket j are e = c*dc + j; p = soe[e]
+    new_planes = []
+    for j in range(dc):
+        e = jnp.arange(m, dtype=jnp.int32) * dc + j
+        p = jnp.take(soe, e)
+        idx = p * code.n + code.chk_to_var[:, j]
+        new_planes.append(jnp.take(out_flat, idx, axis=0))
+    new_mvc = jnp.stack(new_planes)  # [dc, m, W]
 
-    # majority decision: channel bit + dv incoming; flip channel iff
-    # > dv/2 disagreements (strict majority of the dv messages)
+    # majority decision: flip channel iff > dv/2 of the dv incoming
+    # messages disagree
     maj_thresh = dv // 2 + 1
     dec_flip = _bitsliced_count_ge(disagree, maj_thresh)
     decided = channel ^ dec_flip
@@ -147,7 +162,8 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
     if threshold is None:
         threshold = code.dv - 1  # Gallager-A
     channel = received
-    mvc0 = jnp.take(received, code.chk_to_var.reshape(-1), axis=0)
+    mvc0 = jnp.stack([jnp.take(received, code.chk_to_var[:, j], axis=0)
+                      for j in range(code.dc)])  # [dc, m, W] socket-major
     count0 = total_popcount(received).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
     decided0 = received
