@@ -201,6 +201,59 @@ def peeling_drift(erasure_prob: float, dv: int, dc: int, n: int, steps
     return dv * n * peeling_drift_normalized(erasure_prob, dv, dc, y)
 
 
+def gallager_a_density_evolution(crossover_prob: float, iterations: int,
+                                 dv: int, dc: int) -> List[float]:
+    """Message-error-probability recursion for Gallager-A on the BSC.
+
+    With x_t the message error rate, a check output is wrong w.p.
+    u = (1-(1-2x)^(dc-1))/2 and the Gallager-A variable rule flips the
+    channel bit only when all dv-1 other checks agree on the complement:
+    x_{t+1} = p0 (1-(1-u)^(dv-1)) + (1-p0) u^(dv-1).
+
+    Analysis-side counterpart of ops/gallager.py (the reference has no BSC
+    analysis; this extends tools/density_evolution.py's role to BASELINE
+    config 2).
+    """
+    p0 = crossover_prob
+    x = p0
+    out = [x]
+    for _ in range(iterations):
+        u = 0.5 * (1.0 - (1.0 - 2.0 * x) ** (dc - 1))
+        x = p0 * (1.0 - (1.0 - u) ** (dv - 1)) + (1.0 - p0) * u ** (dv - 1)
+        out.append(x)
+    return out
+
+
+@lru_cache(maxsize=None)
+def gallager_a_threshold(dv: int, dc: int, precision: float = 1e-7) -> float:
+    """BSC crossover threshold of Gallager-A decoding by bisection.
+
+    Anchor: p*(3,6) ~= 0.0394 (Richardson/Urbanke value for Gallager
+    algorithm A on the (3,6) ensemble).
+    """
+    def dies_out(p0: float) -> bool:
+        x = p0
+        for _ in range(20_000):
+            u = 0.5 * (1.0 - (1.0 - 2.0 * x) ** (dc - 1))
+            new_x = (p0 * (1.0 - (1.0 - u) ** (dv - 1))
+                     + (1.0 - p0) * u ** (dv - 1))
+            if new_x < 1e-12:
+                return True
+            if abs(new_x - x) < 1e-15:
+                return False
+            x = new_x
+        return x < 1e-12
+
+    lo, hi = 0.0, 0.5
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if dies_out(mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def check_degree_fraction(erasure_prob: float, dv: int, dc: int, degree: int,
                           y) -> np.ndarray:
     """Expected fraction of residual checks with the given degree at

@@ -119,3 +119,39 @@ def test_degree_distribution_evolution():
     later = theory.degree_distribution_at_time(eps, 0.7, 3, 6)
     assert later.shape == (6,)
     assert np.isfinite(later).all()
+
+
+def test_gallager_a_threshold_anchors():
+    # Richardson/Urbanke values for Gallager algorithm A on the BSC
+    assert abs(theory.gallager_a_threshold(3, 6) - 0.0394) < 5e-4
+    assert abs(theory.gallager_a_threshold(4, 8) - 0.0476) < 5e-4
+
+
+def test_gallager_a_de_behaviour():
+    below = theory.gallager_a_density_evolution(0.03, 60, 3, 6)
+    above = theory.gallager_a_density_evolution(0.05, 60, 3, 6)
+    assert below[-1] < 1e-9
+    assert above[-1] > 0.1
+    assert below[0] == 0.03
+
+
+def test_gallager_mc_consistent_with_de_threshold():
+    """Monte Carlo Gallager-A behaviour flips across the analytic
+    threshold (ops vs theory cross-validation)."""
+    import jax
+
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.gallager import gallager_decode_packed
+    import numpy as np
+
+    code = sample_code(jax.random.key(0), 2040, 3, 6)
+    thr = theory.gallager_a_threshold(3, 6)
+    lo = gallager_decode_packed(
+        code, bernoulli_packed(jax.random.key(1), thr * 0.6, (2040, 4)), 40)
+    hi = gallager_decode_packed(
+        code, bernoulli_packed(jax.random.key(2), thr * 1.6, (2040, 4)), 40)
+    ber_lo = float(np.asarray(lo.bit_errors).mean()) / 2040
+    ber_hi = float(np.asarray(hi.bit_errors).mean()) / 2040
+    assert ber_lo < thr * 0.6 * 0.25      # decoding helps well below
+    assert ber_hi > thr                   # stuck above
