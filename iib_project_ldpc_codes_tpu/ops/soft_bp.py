@@ -5,11 +5,15 @@ Behaviour extension over the reference (BEC-only) per BASELINE.json config 3
 edge-list gather skeleton as the erasure/Gallager kernels; message algebra
 is real-valued LLRs, batch in the trailing (lane) dimension, float32.
 
+Messages live as per-socket *contiguous planes* ([dv] x f32[n, B] on the
+variable side, [dc] x f32[m, B] on the check side) routed by static
+per-socket index tables -- strided [m, dc, B] slicing lowers poorly on
+TPU (see ops/erasure_bp.py).
+
 Check update:
-  * min-sum: extrinsic |m| via the two-min trick (min1/min2 over the row
-    instead of the O(dc^2) leave-one-out loop), extrinsic sign via
-    sign-product / own sign (XOR of sign bits); optional normalisation
-    (alpha) and offset (beta) corrections;
+  * min-sum: extrinsic |m| and sign via prefix/suffix min / sign-product
+    scans (O(dc) instead of the O(dc^2) leave-one-out loop); optional
+    normalisation (alpha) and offset (beta) corrections;
   * sum-product: 2 atanh(prod tanh(m/2)) computed extrinsically with
     prefix/suffix products in tanh space, clipped for stability.
 
@@ -52,77 +56,108 @@ class SoftBPResult:
         return jnp.any(self.hard, axis=0)
 
 
-def _check_update_minsum(rows: jax.Array, alpha: float, beta: float
-                         ) -> jax.Array:
-    """rows f32[m, dc, B] -> extrinsic messages f32[m, dc, B]."""
-    mag = jnp.abs(rows)
-    # two-min trick
-    min1 = jnp.min(mag, axis=1, keepdims=True)
-    idx = jnp.argmin(mag, axis=1)                     # [m, B]
-    masked = jnp.where(
-        jax.nn.one_hot(idx, rows.shape[1], axis=1, dtype=bool),
-        jnp.inf, mag)
-    min2 = jnp.min(masked, axis=1, keepdims=True)
-    ext_mag = jnp.where(mag == min1, min2, min1)
-    # with duplicates of the minimum, extrinsic min is min1 for all sockets
-    dup = jnp.sum(mag == min1, axis=1, keepdims=True) > 1
-    ext_mag = jnp.where(dup, jnp.minimum(ext_mag, min1), ext_mag)
-    if beta:
-        ext_mag = jnp.maximum(ext_mag - beta, 0.0)
-    if alpha != 1.0:
-        ext_mag = alpha * ext_mag
+def _check_update_minsum(planes, alpha: float, beta: float):
+    """dc contiguous planes f32[m, B] -> dc extrinsic planes.
 
-    neg = rows < 0
-    total_neg = jnp.sum(neg, axis=1, keepdims=True)
-    ext_neg = (total_neg - neg.astype(total_neg.dtype)) % 2 == 1
-    return jnp.where(ext_neg, -ext_mag, ext_mag)
-
-
-def _check_update_sumproduct(rows: jax.Array) -> jax.Array:
-    t = jnp.tanh(jnp.clip(rows, -_LLR_CLIP, _LLR_CLIP) / 2.0)
-    t = jnp.clip(t, -_TANH_CLIP, _TANH_CLIP)
-    dc = rows.shape[1]
-    pre = [jnp.ones_like(t[:, 0])]
+    Extrinsic |m| via prefix/suffix mins (no one-hot two-min bookkeeping
+    needed in plane form), extrinsic sign via prefix/suffix sign products.
+    """
+    dc = len(planes)
+    mags = [jnp.abs(p) for p in planes]
+    sgns = [jnp.signbit(p) for p in planes]
+    inf = jnp.full_like(planes[0], jnp.inf)
+    pre_m, suf_m = [inf], [inf]
+    pre_s = [jnp.zeros_like(sgns[0])]
+    suf_s = [jnp.zeros_like(sgns[0])]
     for j in range(dc - 1):
-        pre.append(pre[-1] * t[:, j])
-    suf = [jnp.ones_like(t[:, 0])]
+        pre_m.append(jnp.minimum(pre_m[-1], mags[j]))
+        pre_s.append(pre_s[-1] ^ sgns[j])
     for j in range(dc - 1, 0, -1):
-        suf.append(suf[-1] * t[:, j])
+        suf_m.append(jnp.minimum(suf_m[-1], mags[j]))
+        suf_s.append(suf_s[-1] ^ sgns[j])
+    suf_m.reverse()
+    suf_s.reverse()
+    out = []
+    for j in range(dc):
+        mag = jnp.minimum(pre_m[j], suf_m[j])
+        if beta:
+            mag = jnp.maximum(mag - beta, 0.0)
+        if alpha != 1.0:
+            mag = alpha * mag
+        out.append(jnp.where(pre_s[j] ^ suf_s[j], -mag, mag))
+    return out
+
+
+def _check_update_sumproduct(planes):
+    dc = len(planes)
+    ts = [jnp.clip(jnp.tanh(jnp.clip(p, -_LLR_CLIP, _LLR_CLIP) / 2.0),
+                   -_TANH_CLIP, _TANH_CLIP) for p in planes]
+    one = jnp.ones_like(ts[0])
+    pre, suf = [one], [one]
+    for j in range(dc - 1):
+        pre.append(pre[-1] * ts[j])
+    for j in range(dc - 1, 0, -1):
+        suf.append(suf[-1] * ts[j])
     suf.reverse()
-    ext = jnp.stack([pre[j] * suf[j] for j in range(dc)], axis=1)
-    ext = jnp.clip(ext, -_TANH_CLIP, _TANH_CLIP)
-    return 2.0 * jnp.arctanh(ext)
+    return [2.0 * jnp.arctanh(jnp.clip(pre[j] * suf[j], -_TANH_CLIP,
+                                       _TANH_CLIP))
+            for j in range(dc)]
 
 
-def _soft_iteration(code: LDPCCode, llr: jax.Array, mcv_by_var: jax.Array,
-                    inv_edge: jax.Array, method: str, alpha: float,
-                    beta: float):
+def _soft_iteration(code: LDPCCode, llr: jax.Array, mcv_planes,
+                    routing, method: str, alpha: float, beta: float):
     """One flooding round.
 
-    ``mcv_by_var`` f32[n, dv, B]: incoming check messages in variable
-    layout.  Returns (new mcv_by_var, posterior LLR).
+    ``mcv_planes``: dv contiguous planes f32[n, B] of incoming check
+    messages in variable layout (socket-major, avoiding strided [n, dv, B]
+    slicing).  Returns (new planes, posterior).
     """
-    # variable update: extrinsic sum = posterior - own incoming
-    posterior = llr + jnp.sum(mcv_by_var, axis=1)
-    mvc_by_var = posterior[:, None, :] - mcv_by_var        # [n, dv, B]
-    mvc_by_var = jnp.clip(mvc_by_var, -_LLR_CLIP, _LLR_CLIP)
+    to_check_idx, to_var_idx = routing
+    dv, dc, m, n = code.dv, code.dc, code.m, code.n
 
-    # route to edge (check-major) order, then check update
-    mvc_e = jnp.take(
-        mvc_by_var.reshape(code.n * code.dv, -1), inv_edge, axis=0)
-    rows = mvc_e.reshape(code.m, code.dc, -1)
+    # variable update: extrinsic sum = posterior - own incoming
+    posterior = llr
+    for p in mcv_planes:
+        posterior = posterior + p
+    mvc = [jnp.clip(posterior - p, -_LLR_CLIP, _LLR_CLIP)
+           for p in mcv_planes]
+
+    # route to check side: plane j of the check layout gathers from the
+    # stacked variable-socket planes
+    mvc_flat = jnp.stack(mvc).reshape(dv * n, -1)
+    rows = [jnp.take(mvc_flat, to_check_idx[j], axis=0) for j in range(dc)]
+
     if method == "minsum":
         mcv_rows = _check_update_minsum(rows, alpha, beta)
     else:
         mcv_rows = _check_update_sumproduct(rows)
 
-    # route back to variable layout
-    mcv_by_var = jnp.take(
-        mcv_rows.reshape(code.m * code.dc, -1),
-        code.var_to_edge.reshape(-1), axis=0
-    ).reshape(code.n, code.dv, -1)
-    posterior = llr + jnp.sum(mcv_by_var, axis=1)
-    return mcv_by_var, posterior
+    # route back to variable side
+    mcv_flat = jnp.stack(mcv_rows).reshape(dc * m, -1)
+    new_planes = [jnp.take(mcv_flat, to_var_idx[p], axis=0)
+                  for p in range(dv)]
+    posterior = llr
+    for p in new_planes:
+        posterior = posterior + p
+    return new_planes, posterior
+
+
+def _soft_routing(code: LDPCCode):
+    """Static per-socket routing tables between the two plane layouts."""
+    dv, dc, m, n = code.dv, code.dc, code.m, code.n
+    # socket-of-edge: p such that var_to_edge[v, p] == e
+    soe = jnp.zeros((n * dv,), jnp.int32)
+    for p in range(dv):
+        soe = soe.at[code.var_to_edge[:, p]].set(p)
+    to_check_idx = []
+    for j in range(dc):
+        e = jnp.arange(m, dtype=jnp.int32) * dc + j
+        to_check_idx.append(jnp.take(soe, e) * n + code.chk_to_var[:, j])
+    to_var_idx = []
+    for p in range(dv):
+        e = code.var_to_edge[:, p]
+        to_var_idx.append((e % dc) * m + e // dc)
+    return to_check_idx, to_var_idx
 
 
 def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
@@ -131,12 +166,6 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
                     axis=0).reshape(code.m, code.dc, -1)
     parity = jnp.sum(bits, axis=1) % 2
     return ~jnp.any(parity, axis=0)
-
-
-def _inverse_edge_perm(code: LDPCCode) -> jax.Array:
-    inv = jnp.zeros((code.n * code.dv,), jnp.int32)
-    return inv.at[code.var_to_edge.reshape(-1)].set(
-        jnp.arange(code.n * code.dv, dtype=jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
@@ -156,8 +185,8 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     unchanged except that early exit happens at the next multiple.
     """
     llr = jnp.asarray(llr, jnp.float32)
-    inv_edge = _inverse_edge_perm(code)
-    mcv0 = jnp.zeros((code.n, code.dv, llr.shape[1]), jnp.float32)
+    routing = _soft_routing(code)
+    mcv0 = tuple(jnp.zeros_like(llr) for _ in range(code.dv))
     hard0 = llr < 0
     count0 = jnp.sum(hard0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
@@ -169,8 +198,9 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
 
     def body(carry):
         mcv, post, errors, it, _ = carry
-        mcv, post = _soft_iteration(code, llr, mcv, inv_edge, method,
+        mcv, post = _soft_iteration(code, llr, mcv, routing, method,
                                     alpha, beta)
+        mcv = tuple(mcv)
         hard = post < 0
         errors = errors.at[it + 1].set(jnp.sum(hard).astype(jnp.int32))
         all_sat = jax.lax.cond(

@@ -136,26 +136,29 @@ def test_soft_bp_snr_monotone():
     assert bers[0] > bers[1] > bers[2] or bers[2] == 0
 
 
-def test_minsum_check_update_two_min_trick(rng):
-    """Two-min extrinsic == naive leave-one-out min/sign product."""
+def test_minsum_check_update_extrinsic(rng):
+    """Prefix/suffix extrinsic == naive leave-one-out min/sign product."""
     from iib_project_ldpc_codes_tpu.ops.soft_bp import _check_update_minsum
-    rows = jnp.asarray(rng.normal(size=(5, 6, 3)).astype(np.float32))
-    got = np.asarray(_check_update_minsum(rows, 1.0, 0.0))
-    rows_np = np.asarray(rows)
+    rows_np = rng.normal(size=(5, 6, 3)).astype(np.float32)
+    planes = [jnp.asarray(rows_np[:, j]) for j in range(6)]
+    got = [np.asarray(p) for p in _check_update_minsum(planes, 1.0, 0.0)]
     for c in range(5):
         for j in range(6):
             others = np.delete(rows_np[c], j, axis=0)
             want = np.sign(np.prod(np.sign(others), axis=0)) * \
                 np.min(np.abs(others), axis=0)
-            np.testing.assert_allclose(got[c, j], want, rtol=1e-6)
+            np.testing.assert_allclose(got[j][c], want, rtol=1e-6)
 
 
 def test_normalized_minsum_scales():
     from iib_project_ldpc_codes_tpu.ops.soft_bp import _check_update_minsum
-    rows = jnp.asarray(np.random.default_rng(1).normal(
-        size=(3, 6, 2)).astype(np.float32))
-    plain = np.asarray(_check_update_minsum(rows, 1.0, 0.0))
-    scaled = np.asarray(_check_update_minsum(rows, 0.75, 0.0))
+    rows_np = np.random.default_rng(1).normal(
+        size=(3, 6, 2)).astype(np.float32)
+    planes = [jnp.asarray(rows_np[:, j]) for j in range(6)]
+    plain = np.stack([np.asarray(p)
+                      for p in _check_update_minsum(planes, 1.0, 0.0)])
+    scaled = np.stack([np.asarray(p)
+                       for p in _check_update_minsum(planes, 0.75, 0.0)])
     np.testing.assert_allclose(scaled, 0.75 * plain, rtol=1e-6)
 
 
