@@ -119,3 +119,17 @@ def test_minsum_alpha_option():
     code = sample_code(jax.random.key(5), 96, 3, 6)
     r = run_simulation(cfg, code=code)
     assert r.num_trials == 128
+
+
+def test_cli_expurgated_argv(tmp_path):
+    """Reference 9-arg expurgated invocation
+    (parallel_simulator_expurgated.py:425)."""
+    r = _run_cli(["0.45", "256", "20", "96", "3", "6", "0", "5", "1",
+                  "--platform=cpu", f"--output-dir={tmp_path}"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1
+    assert "expurgated=1" in files[0].name
+    data = json.loads(files[0].read_text())
+    assert data["config"]["expurgation"] == 1
+    assert data["excluded_trials"] > 0
