@@ -30,7 +30,10 @@ def main():
     n, dv, dc = 10_000, 3, 6
     iters = 50
     eps = 0.42
-    words = 512                      # 16384 trials per decode call
+    words = 768                      # 24576 trials per decode call
+    # words sweep on v5e (50-iter fixed-point decode, eps=0.42):
+    # 128: 1.7, 256: 2.6, 384: 3.1, 512: ~4.9, 640: 4.6, 768: ~5.3,
+    # 896: 3.0, 1024: 3.0 Gbit/s -- 768 is the repeatable peak.
     batch = words * 32
     k = n * (dc - dv) // dc
 
