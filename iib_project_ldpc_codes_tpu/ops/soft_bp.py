@@ -108,37 +108,44 @@ def _soft_iteration(code: LDPCCode, llr: jax.Array, mcv_planes,
                     routing, method: str, alpha: float, beta: float):
     """One flooding round.
 
-    ``mcv_planes``: dv contiguous planes f32[n, B] of incoming check
+    ``mcv_planes``: dv contiguous planes [n, B] of incoming check
     messages in variable layout (socket-major, avoiding strided [n, dv, B]
-    slicing).  Returns (new planes, posterior).
+    slicing), in the working ``dtype`` (f32 or bf16).  The posterior is
+    always accumulated in f32; only the routed messages live in the
+    working dtype (where the HBM traffic is).  Returns (new planes,
+    posterior f32).
     """
     to_check_idx, to_var_idx = routing
     dv, dc, m, n = code.dv, code.dc, code.m, code.n
+    dtype = mcv_planes[0].dtype
 
-    # variable update: extrinsic sum = posterior - own incoming
+    # variable update: extrinsic sum = posterior - own incoming (f32)
     posterior = llr
     for p in mcv_planes:
-        posterior = posterior + p
-    mvc = [jnp.clip(posterior - p, -_LLR_CLIP, _LLR_CLIP)
+        posterior = posterior + p.astype(jnp.float32)
+    mvc = [jnp.clip(posterior - p.astype(jnp.float32),
+                    -_LLR_CLIP, _LLR_CLIP).astype(dtype)
            for p in mcv_planes]
 
     # route to check side: plane j of the check layout gathers from the
-    # stacked variable-socket planes
+    # stacked variable-socket planes (gather traffic in the working dtype)
     mvc_flat = jnp.stack(mvc).reshape(dv * n, -1)
-    rows = [jnp.take(mvc_flat, to_check_idx[j], axis=0) for j in range(dc)]
+    rows = [jnp.take(mvc_flat, to_check_idx[j], axis=0).astype(jnp.float32)
+            for j in range(dc)]
 
     if method == "minsum":
         mcv_rows = _check_update_minsum(rows, alpha, beta)
     else:
         mcv_rows = _check_update_sumproduct(rows)
 
-    # route back to variable side
-    mcv_flat = jnp.stack(mcv_rows).reshape(dc * m, -1)
+    # route back to variable side (again in the working dtype)
+    mcv_flat = jnp.stack([r.astype(dtype) for r in mcv_rows]
+                         ).reshape(dc * m, -1)
     new_planes = [jnp.take(mcv_flat, to_var_idx[p], axis=0)
                   for p in range(dv)]
     posterior = llr
     for p in new_planes:
-        posterior = posterior + p
+        posterior = posterior + p.astype(jnp.float32)
     return new_planes, posterior
 
 
@@ -169,10 +176,11 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
-                                   "check_every"))
+                                   "check_every", "msg_dtype"))
 def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
                    method: str = "sumproduct", alpha: float = 1.0,
-                   beta: float = 0.0, check_every: int = 1) -> SoftBPResult:
+                   beta: float = 0.0, check_every: int = 1,
+                   msg_dtype=jnp.float32) -> SoftBPResult:
     """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
     (positive favours bit 0; ``AWGN.llr`` output).
 
@@ -183,10 +191,17 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     third gather per round, so sweeping well above threshold (where few
     batches converge) runs faster at a higher cadence; results are
     unchanged except that early exit happens at the next multiple.
+
+    ``msg_dtype`` sets the *message* precision (default f32).
+    ``jnp.bfloat16`` halves the HBM traffic of the routing gathers — the
+    dominant cost on TPU — while the posterior and the check-update
+    arithmetic stay f32 (bf16's 8 mantissa bits match the 6-8 bit
+    quantisation of production min-sum hardware; expect a small BER shift
+    near threshold, none away from it).
     """
     llr = jnp.asarray(llr, jnp.float32)
     routing = _soft_routing(code)
-    mcv0 = tuple(jnp.zeros_like(llr) for _ in range(code.dv))
+    mcv0 = tuple(jnp.zeros(llr.shape, msg_dtype) for _ in range(code.dv))
     hard0 = llr < 0
     count0 = jnp.sum(hard0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)

@@ -41,17 +41,20 @@ def _or_all_reduce(x: jax.Array, axis_name: str) -> jax.Array:
     return jnp.bitwise_or.reduce(gathered, axis=0)
 
 
-def _local_round(chk_local: jax.Array, known: jax.Array, dc: int
+def _local_round(chk_local: jax.Array, var_to_chk: jax.Array,
+                 chk_offset, known: jax.Array, dc: int, dv: int
                  ) -> jax.Array:
     """Candidate plane from this device's check shard.
 
-    Scatters the per-check exactly-one-unknown summary to all of the
-    check's variables: known participants absorb the OR harmlessly, the
-    unique unknown becomes resolvable -- same identity as
-    ops.erasure_bp._check_summaries.
+    Check side: per-socket gathers + prefix/suffix AND give the
+    exactly-one-unknown summary for the LOCAL checks (same identity as
+    ops.erasure_bp._check_summaries).  Variable side: every variable
+    gathers the summary from its dv checks, with checks outside this
+    device's shard masked to zero -- all gathers, no scatter (a
+    3E-update scatter-OR under a 200-round while_loop is exactly the op
+    shape that falls off the TPU fast path; the OR-all-reduce then
+    merges the per-shard candidates).
     """
-    # per-socket gathers (see ops/erasure_bp._check_summaries: avoids the
-    # strided [m_local, dc, W] intermediate)
     kns = [jnp.take(known, chk_local[:, j], axis=0) for j in range(dc)]
     full = jnp.uint32(0xFFFFFFFF)
     pre = [jnp.full_like(kns[0], full)]
@@ -64,10 +67,15 @@ def _local_round(chk_local: jax.Array, known: jax.Array, dc: int
     exactly_one = jnp.zeros_like(kns[0])
     for j in range(dc):
         exactly_one = exactly_one | (~kns[j] & pre[j] & suf[j])
+
+    m_local = chk_local.shape[0]
     cand = jnp.zeros_like(known)
-    for j in range(dc):
-        cand = jnp.bitwise_or.at(cand, chk_local[:, j], exactly_one,
-                                 inplace=False)
+    for p in range(dv):
+        idx = var_to_chk[:, p] - chk_offset                  # [n]
+        local = (idx >= 0) & (idx < m_local)
+        plane = jnp.take(exactly_one, jnp.clip(idx, 0, m_local - 1),
+                         axis=0)
+        cand = cand | jnp.where(local[:, None], plane, jnp.uint32(0))
     return cand
 
 
@@ -85,9 +93,11 @@ def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
     if code.m % n_dev:
         raise ValueError(f"m={code.m} must divide by mesh size {n_dev}")
     n, W = erased.shape
-    dc = code.dc
+    dc, dv = code.dc, code.dv
+    m_local = code.m // n_dev
 
-    def per_device(chk_local, erased_rep):
+    def per_device(chk_local, var_to_chk, erased_rep):
+        chk_offset = jax.lax.axis_index(axis).astype(jnp.int32) * m_local
         known = ~erased_rep
         count0 = (n * W * 32 - total_popcount(known)).astype(jnp.int32)
         errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
@@ -98,7 +108,8 @@ def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
 
         def body(carry):
             known, errors, it, count, _ = carry
-            cand = _local_round(chk_local, known, dc)
+            cand = _local_round(chk_local, var_to_chk, chk_offset,
+                                known, dc, dv)
             cand = _or_all_reduce(cand, axis)
             known = known | cand
             new_count = (n * W * 32 - total_popcount(known)).astype(jnp.int32)
@@ -113,10 +124,10 @@ def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
 
     sharded = jax.jit(jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis, None), P()),
+        in_specs=(P(axis, None), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     ))
-    known, errors, it = sharded(code.chk_to_var, erased)
+    known, errors, it = sharded(code.chk_to_var, code.var_to_chk, erased)
     return PackedBPResult(val=jnp.zeros_like(known), known=known,
                           error_totals=errors, iterations=it)

@@ -113,8 +113,8 @@ def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
 
 def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
                 iterations: int, channel: str, channel_param,
-                method: str, alpha: float = 1.0, beta: float = 0.0
-                ) -> ChunkStats:
+                method: str, alpha: float = 1.0, beta: float = 0.0,
+                msg_dtype=jnp.float32) -> ChunkStats:
     """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP."""
     from ..ops.channels import AWGN, BSC
     from ..ops.soft_bp import soft_bp_decode
@@ -127,7 +127,7 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
         ch = BSC(channel_param)
         llr = ch.llr(ch.transmit(key, zeros))
     res = soft_bp_decode(code, llr, iterations, method=method,
-                         alpha=alpha, beta=beta)
+                         alpha=alpha, beta=beta, msg_dtype=msg_dtype)
     return ChunkStats(
         error_totals=res.error_totals,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),
@@ -199,7 +199,8 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
                            iterations=cfg.iterations, channel=cfg.channel,
                            channel_param=cfg.channel_param,
                            method=cfg.decoder, alpha=cfg.minsum_alpha,
-                           beta=cfg.minsum_beta)
+                           beta=cfg.minsum_beta,
+                           msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
 
     if cfg.code_mode == "fixed":
         if code is None:
@@ -246,7 +247,8 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
                         c, noise_key, n=cfg.n, batch=sub_words * 32,
                         iterations=cfg.iterations, channel=cfg.channel,
                         channel_param=cfg.channel_param, method=cfg.decoder,
-                        alpha=cfg.minsum_alpha, beta=cfg.minsum_beta)
+                        alpha=cfg.minsum_alpha, beta=cfg.minsum_beta,
+                        msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
 
                 stats = jax.vmap(one)(code_keys, noise_keys)
                 return ChunkStats(

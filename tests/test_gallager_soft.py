@@ -124,6 +124,26 @@ def test_soft_bp_decodes_high_snr(method):
     assert (errs[sat] == 0).mean() > 0.95
 
 
+@pytest.mark.parametrize("method", ["sumproduct", "minsum"])
+def test_soft_bp_bfloat16_messages(method):
+    """bf16 message planes decode essentially as well as f32 at a working
+    SNR (the traffic-halving fast path; posterior stays f32)."""
+    n = 504
+    code = sample_code(jax.random.key(7), n, 3, 6)
+    ch = AWGN(AWGN.sigma_from_ebn0_db(3.0, 0.5))
+    y = ch.transmit(jax.random.key(8), jnp.zeros((n, 64), jnp.int32))
+    llr = ch.llr(y)
+    r32 = soft_bp_decode(code, llr, 50, method=method)
+    r16 = soft_bp_decode(code, llr, 50, method=method,
+                         msg_dtype=jnp.bfloat16)
+    assert r16.posterior.dtype == jnp.float32
+    ber32 = float(np.asarray(r32.bit_errors).mean()) / n
+    ber16 = float(np.asarray(r16.bit_errors).mean()) / n
+    raw = float(jnp.mean(y < 0))
+    assert ber16 < raw / 10              # still a real decoder
+    assert abs(ber16 - ber32) < 0.3 * raw  # and close to the f32 curve
+
+
 def test_soft_bp_snr_monotone():
     n = 504
     code = sample_code(jax.random.key(9), n, 3, 6)
