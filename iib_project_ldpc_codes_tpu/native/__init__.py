@@ -27,12 +27,14 @@ _tried = False
 
 
 def build(force: bool = False) -> str:
-    """Compile gf2.c into libgf2.so with the system compiler."""
-    src = os.path.join(_HERE, "gf2.c")
-    if force or not os.path.exists(_SO_PATH) or \
-            os.path.getmtime(_SO_PATH) < os.path.getmtime(src):
+    """Compile the C kernels into libgf2.so with the system compiler."""
+    srcs = [os.path.join(_HERE, f) for f in ("gf2.c", "peeling.c")]
+    stale = (force or not os.path.exists(_SO_PATH) or
+             any(os.path.getmtime(_SO_PATH) < os.path.getmtime(s)
+                 for s in srcs))
+    if stale:
         cc = os.environ.get("CC", "cc")
-        cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", src,
+        cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", *srcs,
                "-o", _SO_PATH]
         subprocess.run(cmd, check=True, capture_output=True)
     return _SO_PATH
@@ -55,6 +57,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.gf2_rank.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.peel_decode_trials.restype = ctypes.c_int
+        lib.peel_decode_trials.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
         _lib = None
@@ -90,3 +100,47 @@ def gf2_rank_native(mat: np.ndarray, num_cols: int) -> Optional[int]:
     return lib.gf2_rank(
         mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         rows, words, num_cols)
+
+
+def peel_decode_trials_native(chk_to_var: np.ndarray,
+                              var_to_chk: np.ndarray,
+                              erased: np.ndarray, seed: int
+                              ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray, np.ndarray]]:
+    """Sequential R-process peeling over a batch of erasure patterns.
+
+    Args:
+      chk_to_var: int32[m, dc], var_to_chk: int32[n, dv],
+      erased: bool/uint8[trials, n], seed: PRNG seed (reproducible).
+
+    Returns ``(unresolved[trials, n] bool, evolution[trials, n+1] int32,
+    steps[trials] int32, num_erasures[trials] int32)`` with the exact
+    bookkeeping of ops.peeling.peel_decode (counts before each peel,
+    final 0 appended on success, -1 padding), or None if the native
+    library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    chk_to_var = np.ascontiguousarray(chk_to_var, np.int32)
+    var_to_chk = np.ascontiguousarray(var_to_chk, np.int32)
+    erased = np.ascontiguousarray(erased, np.uint8)
+    trials, n = erased.shape
+    m, dc = chk_to_var.shape
+    dv = var_to_chk.shape[1]
+    max_evo = n + 1
+    unresolved = np.zeros((trials, n), np.uint8)
+    evolution = np.zeros((trials, max_evo), np.int32)
+    steps = np.zeros(trials, np.int32)
+    erasures = np.zeros(trials, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.peel_decode_trials(
+        chk_to_var.ctypes.data_as(i32p), var_to_chk.ctypes.data_as(i32p),
+        n, m, dv, dc, erased.ctypes.data_as(u8p), trials,
+        ctypes.c_uint64(seed), unresolved.ctypes.data_as(u8p),
+        evolution.ctypes.data_as(i32p), max_evo,
+        steps.ctypes.data_as(i32p), erasures.ctypes.data_as(i32p))
+    if rc != 0:
+        return None
+    return unresolved.astype(bool), evolution, steps, erasures

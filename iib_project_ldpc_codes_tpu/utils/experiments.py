@@ -50,13 +50,22 @@ class PeelingScalingResult:
 
 def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
                                repeats: int = 100, seed: int = 0,
-                               code: Optional[LDPCCode] = None
+                               code: Optional[LDPCCode] = None,
+                               backend: str = "native"
                                ) -> PeelingScalingResult:
     """Monte Carlo R-process trajectories vs the analytic drift.
 
     Mirrors peeling_decoder.py:136-168: fresh (or fixed) code per repeat,
     all-zero transmit through the BEC, sequential random peeling, and the
     critical-point bookkeeping of :105-123.
+
+    ``backend="native"`` runs the sequential peel in the C kernel
+    (native/peeling.c, O(E) incremental degree tracking -- the loop is
+    inherently sequential so it lives on the host); falls back to the
+    jax scan (``ops.peeling.peel_decode``) when the library is
+    unavailable.  Both are seeded and reproducible; they use different
+    PRNG streams for the uniform degree-1 choice, so individual
+    trajectories differ while all distributional statistics agree.
     """
     thr = theory.calc_threshold(dv, dc)
     y_crit = theory.threshold_y(thr, dv, dc)
@@ -80,15 +89,31 @@ def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
     critical_distribution = []
     num_failures_at_critical = 0
 
+    use_native = False
+    if backend == "native":
+        from ..native import load as _native_load
+        use_native = _native_load() is not None
+
     for i in range(repeats):
         k_code, k_noise, k_peel = jax.random.split(
             jax.random.fold_in(key, i), 3)
         c = code if code is not None else sample_code(k_code, n, dv, dc)
         rx = ch.transmit(k_noise, jnp.zeros(n, jnp.int32))
-        res = peel_decode(c, rx, k_peel)
-        evo = np.asarray(res.one_degree_evolution)
-        evo = evo[evo >= 0].astype(float)
-        num_erasures = int(res.num_erasures)
+        if use_native:
+            from ..native import peel_decode_trials_native
+            erased = (np.asarray(rx) == 2)[None, :]
+            out = peel_decode_trials_native(
+                np.asarray(c.chk_to_var), np.asarray(c.var_to_chk),
+                erased, seed=seed * 1_000_003 + i)
+            _, evolution, _, erasure_counts = out
+            evo = evolution[0]
+            evo = evo[evo >= 0].astype(float)
+            num_erasures = int(erasure_counts[0])
+        else:
+            res = peel_decode(c, rx, k_peel)
+            evo = np.asarray(res.one_degree_evolution)
+            evo = evo[evo >= 0].astype(float)
+            num_erasures = int(res.num_erasures)
         sizes_at_failure.append(num_erasures + 1 - len(evo))
         padded = np.concatenate(
             [evo, np.full(num_erasures + 1 - len(evo), np.nan)])

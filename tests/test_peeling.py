@@ -121,3 +121,84 @@ def test_batch_decode():
     for i in range(8):
         single = peel_decode(code, rxs[i], jax.random.key(99 + i))
         assert bool(single.success) == (~np.asarray(res.unresolved[i]).any())
+
+
+# ---------------------------------------------------------------------------
+# Native C sequential peel (native/peeling.c)
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from iib_project_ldpc_codes_tpu.native import load
+    return load() is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+@pytest.mark.parametrize("eps", [0.2, 0.4, 0.55])
+def test_native_peel_matches_bp_fixed_point(eps):
+    """Final unresolved set is choice-order independent: must equal the BP
+    fixed point exactly, trial by trial."""
+    from iib_project_ldpc_codes_tpu.native import peel_decode_trials_native
+
+    n, trials = 96, 32
+    code = sample_code(jax.random.key(30), n, 3, 6)
+    rxs = BEC(eps).transmit(jax.random.key(31),
+                            jnp.zeros((trials, n), jnp.int32))
+    erased = np.asarray(rxs) == ERASURE
+    un, evo, steps, erasures = peel_decode_trials_native(
+        np.asarray(code.chk_to_var), np.asarray(code.var_to_chk),
+        erased, seed=7)
+    assert (erasures == erased.sum(axis=1)).all()
+    for t in range(trials):
+        dec, _, _ = bp_decode(code, jnp.asarray(rxs[t]), 200)
+        assert (un[t] == (np.asarray(dec) == ERASURE)).all()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_native_peel_bookkeeping_and_determinism():
+    from iib_project_ldpc_codes_tpu.native import peel_decode_trials_native
+
+    n, trials = 96, 64
+    code = sample_code(jax.random.key(32), n, 3, 6)
+    cv, vc = np.asarray(code.chk_to_var), np.asarray(code.var_to_chk)
+    erased = np.asarray(BEC(0.4).transmit(
+        jax.random.key(33), jnp.zeros((trials, n), jnp.int32))) == ERASURE
+    un, evo, steps, erasures = peel_decode_trials_native(cv, vc, erased, 7)
+    un2, evo2, steps2, _ = peel_decode_trials_native(cv, vc, erased, 7)
+    assert (evo == evo2).all() and (steps == steps2).all()
+    un3, evo3, _, _ = peel_decode_trials_native(cv, vc, erased, 8)
+    assert (un3 == un).all()          # final set independent of choices
+    for t in range(trials):
+        e = evo[t][evo[t] >= 0]
+        remaining = int(un[t].sum())
+        if remaining == 0:            # success: peels + final 0 append
+            assert steps[t] == erasures[t] + 1
+            assert e[-1] == 0
+            if len(e) > 1:
+                assert (e[:-1] > 0).all()
+        else:                         # failure: stalled with R=0
+            assert int(erasures[t]) + 1 - int(steps[t]) == remaining + 1
+            assert (e > 0).all()
+    # first recorded count (pre-peel degree-1 checks) is choice-independent
+    deg = (erased[:, cv].sum(axis=2) == 1)  # [trials, m]
+    has = erasures > 0
+    assert (evo[has, 0] == deg.sum(axis=1)[has]).all()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_native_experiment_backend():
+    """peeling_scaling_experiment produces equivalent statistics on both
+    backends (same drift axis, comparable failure rates)."""
+    from iib_project_ldpc_codes_tpu.utils.experiments import (
+        peeling_scaling_experiment)
+
+    nat = peeling_scaling_experiment(120, 3, 6, 0.35, repeats=40, seed=3,
+                                     backend="native")
+    jx = peeling_scaling_experiment(120, 3, 6, 0.35, repeats=40, seed=3,
+                                    backend="jax")
+    assert nat.critical_point == jx.critical_point
+    assert np.allclose(nat.drift, jx.drift)
+    assert abs(nat.failure_rate - jx.failure_rate) < 0.35
+    # same codes + channels on both backends -> identical first counts
+    for a, b in zip(nat.trajectories, jx.trajectories):
+        assert len(a) == len(b)       # num_erasures identical
+        assert a[-1] == b[-1] or (np.isnan(a[-1]) and np.isnan(b[-1]))
