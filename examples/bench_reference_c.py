@@ -56,6 +56,8 @@ def main(trials: int = 200) -> int:
     iptr = ctypes.POINTER(ctypes.c_int)
 
     def decode(buf):
+        errors[:] = 0  # the C decoder accumulates into errors[] and reads
+        # it back for its stall shortcut (message_passing.c:16-19, :71-73)
         lib.message_passing(
             buf.ctypes.data_as(iptr), ctypes.c_int(iters),
             var_lookup.ctypes.data_as(iptr), chk_lookup.ctypes.data_as(iptr),

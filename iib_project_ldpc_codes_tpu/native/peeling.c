@@ -68,6 +68,7 @@ int peel_decode_trials(const int32_t *chk_to_var, const int32_t *var_to_chk,
         uint8_t *un = unresolved_out + (size_t)t * n;
         int32_t *evo = evolution_out + (size_t)t * max_evo;
         uint64_t rng = seed ^ (0x9E3779B97F4A7C15ULL * (uint64_t)(t + 1));
+        if (!rng) rng = 0xD1B54A32D192ED03ULL; /* xorshift fixed point 0 */
         xs64(&rng); /* scramble the seed mix */
 
         memcpy(un, er, (size_t)n);

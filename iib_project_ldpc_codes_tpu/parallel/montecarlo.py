@@ -391,7 +391,6 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     semantics) remains `ops.peeling.peel_decode` and drives the scaling
     experiments in `utils.experiments`."""
     from ..models.ensemble import sample_code as _sample_code
-    from ..ops.erasure_bp import bp_decode_packed_allzero
 
     if code is None and cfg.code_mode == "fixed":
         raise ValueError("fixed code_mode requires a code")
@@ -400,7 +399,7 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     trials = chunk_idx = 0
     block_errors = bit_errors = 0
     stopped_by = "num_tests"
-    batch = cfg.batch - cfg.batch % 32
+    batch = cfg.batch  # __post_init__ guarantees batch % 32 == 0
     words = batch // 32
     while trials < cfg.num_tests:
         ck = jax.random.fold_in(key, chunk_idx)

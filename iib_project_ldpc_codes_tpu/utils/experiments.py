@@ -101,7 +101,8 @@ def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
         rx = ch.transmit(k_noise, jnp.zeros(n, jnp.int32))
         if use_native:
             from ..native import peel_decode_trials_native
-            erased = (np.asarray(rx) == 2)[None, :]
+            from ..ops.channels import ERASURE
+            erased = (np.asarray(rx) == ERASURE)[None, :]
             out = peel_decode_trials_native(
                 np.asarray(c.chk_to_var), np.asarray(c.var_to_chk),
                 erased, seed=seed * 1_000_003 + i)
