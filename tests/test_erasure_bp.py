@@ -197,3 +197,31 @@ def test_allzero_fast_path_bit_identical():
             == np.asarray(fast.error_totals)).all()
     assert int(full.iterations) == int(fast.iterations)
     assert (np.asarray(full.failed) == np.asarray(fast.failed)).all()
+
+
+def test_packed_nonzero_codewords_match_naive():
+    """Value-plane adoption on real (nonzero) codewords: every lane of the
+    packed decode equals the naive {0,1,2} decode bit-for-bit."""
+    from iib_project_ldpc_codes_tpu.models.encode import make_encoder
+
+    n, W, B = 96, 1, 32
+    code = sample_code(jax.random.key(23), n, 3, 6)
+    enc = make_encoder(code)
+    rng = np.random.default_rng(24)
+    words = np.stack([enc.encode((rng.random(enc.k_eff) < 0.5).astype(int))
+                      for _ in range(B)], axis=1)        # [n, B]
+    mask = np.asarray(BEC(0.4).erasure_mask(jax.random.key(25), (n, B)))
+    erased = pack_bits(jnp.asarray(mask))
+    tx = pack_bits(jnp.asarray(words.astype(bool)))
+    res = bp_decode_packed(code, erased, tx, 50)
+    val = np.asarray(res.val)
+    known = np.asarray(res.known)
+    for b in range(B):
+        rx = np.where(mask[:, b], ERASURE, words[:, b])
+        dec, _, _ = bp_decode(code, jnp.asarray(rx), 50)
+        dec = np.asarray(dec)
+        lane_known = (known[:, 0] >> np.uint32(b)) & 1
+        lane_val = (val[:, 0] >> np.uint32(b)) & 1
+        assert (lane_known.astype(bool) == (dec != ERASURE)).all()
+        resolved = dec != ERASURE
+        assert (lane_val[resolved] == dec[resolved]).all()
