@@ -5,10 +5,19 @@ Behaviour extension over the reference (BEC-only) per BASELINE.json config 3
 edge-list gather skeleton as the erasure/Gallager kernels; message algebra
 is real-valued LLRs, batch in the trailing (lane) dimension, float32.
 
-Messages live as per-socket *contiguous planes* ([dv] x f32[n, B] on the
-variable side, [dc] x f32[m, B] on the check side) routed by static
-per-socket index tables -- strided [m, dc, B] slicing lowers poorly on
-TPU (see ops/erasure_bp.py).
+The decoder state is *check-resident*: the only persistent message
+array is the check->variable messages as dc contiguous planes
+[m, B] in the working dtype, plus the f32 posterior [n, B].  Each
+round gathers the posterior to the check side (variable->check message
+= posterior - own incoming, the extrinsic subtraction done at the
+check side), runs the check update in place, and routes the new
+check messages back through one static per-socket index table.  This
+halves the HBM traffic of the earlier two-sided plane formulation:
+variable->check messages are never materialised in variable layout,
+and the parity-check syndrome falls out of the sign bits of the
+posterior rows the round gathers anyway (no separate syndrome gather).
+Strided [m, dc, B] slicing lowers poorly on TPU (see ops/erasure_bp.py),
+hence the per-socket contiguous planes.
 
 Check update:
   * min-sum: extrinsic |m| and sign via prefix/suffix min / sign-product
@@ -18,9 +27,9 @@ Check update:
     prefix/suffix products in tanh space, clipped for stability.
 
 Variable update: total-sum minus own message.  Decision: sign of the
-posterior LLR; convergence via the parity-check syndrome of the hard
-decisions (early exit when every check of every trial is satisfied),
-replacing the BEC-specific erasure-count rules.
+posterior LLR; convergence via the parity-check syndrome (early exit
+when every check of every trial is satisfied), replacing the
+BEC-specific erasure-count rules.
 """
 
 from __future__ import annotations
@@ -104,67 +113,65 @@ def _check_update_sumproduct(planes):
             for j in range(dc)]
 
 
-def _soft_iteration(code: LDPCCode, llr: jax.Array, mcv_planes,
-                    routing, method: str, alpha: float, beta: float):
-    """One flooding round.
+def _soft_iteration(code: LDPCCode, llr: jax.Array, mcv_rows,
+                    to_var_idx, method: str, alpha: float, beta: float):
+    """One flooding round over check-resident state.
 
-    ``mcv_planes``: dv contiguous planes [n, B] of incoming check
-    messages in variable layout (socket-major, avoiding strided [n, dv, B]
-    slicing), in the working ``dtype`` (f32 or bf16).  The posterior is
-    always accumulated in f32; only the routed messages live in the
-    working dtype (where the HBM traffic is).  Returns (new planes,
-    posterior f32).
+    ``mcv_rows``: dc contiguous planes [m, B] of check->variable
+    messages in check layout, in the working ``dtype`` (f32 or bf16);
+    ``llr`` the f32 channel LLRs.  The posterior is reconstructed from
+    the incoming messages (llr + sum), cast once to the working dtype,
+    and gathered to the check side, where the extrinsic subtraction
+    (posterior - own incoming) happens in f32 — variable->check
+    messages never touch HBM in variable layout.  Returns
+    (new mcv planes, posterior f32, entering-posterior syndrome ok
+    bool[B]).
     """
-    to_check_idx, to_var_idx = routing
-    dv, dc, m, n = code.dv, code.dc, code.m, code.n
-    dtype = mcv_planes[0].dtype
+    dv, dc = code.dv, code.dc
+    dtype = mcv_rows[0].dtype
 
-    # variable update: extrinsic sum = posterior - own incoming (f32)
+    # variable update: posterior = llr + sum of incoming (dv gathers
+    # from the stacked check planes, traffic in the working dtype)
+    mcv_flat = jnp.stack(mcv_rows).reshape(dc * code.m, -1)
     posterior = llr
-    for p in mcv_planes:
-        posterior = posterior + p.astype(jnp.float32)
-    mvc = [jnp.clip(posterior - p.astype(jnp.float32),
-                    -_LLR_CLIP, _LLR_CLIP).astype(dtype)
-           for p in mcv_planes]
+    for p in range(dv):
+        posterior = posterior + jnp.take(
+            mcv_flat, to_var_idx[p], axis=0).astype(jnp.float32)
 
-    # route to check side: plane j of the check layout gathers from the
-    # stacked variable-socket planes (gather traffic in the working dtype)
-    mvc_flat = jnp.stack(mvc).reshape(dv * n, -1)
-    rows = [jnp.take(mvc_flat, to_check_idx[j], axis=0).astype(jnp.float32)
-            for j in range(dc)]
+    # route the posterior to the check side (working dtype); the
+    # syndrome of this posterior falls out of the gathered sign bits
+    post_msg = posterior.astype(dtype)
+    post_rows = [jnp.take(post_msg, code.chk_to_var[:, j], axis=0)
+                 for j in range(dc)]
+    parity = post_rows[0] < 0
+    for j in range(1, dc):
+        parity = parity ^ (post_rows[j] < 0)
+    sat = ~jnp.any(parity, axis=0)
 
+    # extrinsic subtraction at the check side + check update (f32 math)
+    rows = [jnp.clip(post_rows[j].astype(jnp.float32)
+                     - mcv_rows[j].astype(jnp.float32),
+                     -_LLR_CLIP, _LLR_CLIP) for j in range(dc)]
     if method == "minsum":
-        mcv_rows = _check_update_minsum(rows, alpha, beta)
+        new_rows = _check_update_minsum(rows, alpha, beta)
     else:
-        mcv_rows = _check_update_sumproduct(rows)
-
-    # route back to variable side (again in the working dtype)
-    mcv_flat = jnp.stack([r.astype(dtype) for r in mcv_rows]
-                         ).reshape(dc * m, -1)
-    new_planes = [jnp.take(mcv_flat, to_var_idx[p], axis=0)
-                  for p in range(dv)]
-    posterior = llr
-    for p in new_planes:
-        posterior = posterior + p.astype(jnp.float32)
-    return new_planes, posterior
+        new_rows = _check_update_sumproduct(rows)
+    return [r.astype(dtype) for r in new_rows], posterior, sat
 
 
 def _soft_routing(code: LDPCCode):
-    """Static per-socket routing tables between the two plane layouts."""
-    dv, dc, m, n = code.dv, code.dc, code.m, code.n
-    # socket-of-edge: p such that var_to_edge[v, p] == e
-    soe = jnp.zeros((n * dv,), jnp.int32)
-    for p in range(dv):
-        soe = soe.at[code.var_to_edge[:, p]].set(p)
-    to_check_idx = []
-    for j in range(dc):
-        e = jnp.arange(m, dtype=jnp.int32) * dc + j
-        to_check_idx.append(jnp.take(soe, e) * n + code.chk_to_var[:, j])
+    """Static per-socket table: variable socket p -> flat check-plane row.
+
+    ``to_var_idx[p][v]`` indexes the stacked [dc*m, B] check planes at
+    the message feeding socket p of variable v (edge e = c*dc + j maps
+    to flat row j*m + c).
+    """
+    dv, dc, m = code.dv, code.dc, code.m
     to_var_idx = []
     for p in range(dv):
         e = code.var_to_edge[:, p]
         to_var_idx.append((e % dc) * m + e // dc)
-    return to_check_idx, to_var_idx
+    return to_var_idx
 
 
 def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
@@ -187,10 +194,13 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     Early exit when all trials satisfy every parity check or the iteration
     budget runs out.  ``error_totals`` counts hard-decision errors against
     the all-zero codeword after each round (index 0 = channel decisions).
-    ``check_every`` sets the syndrome-check cadence: the check costs a
-    third gather per round, so sweeping well above threshold (where few
-    batches converge) runs faster at a higher cadence; results are
-    unchanged except that early exit happens at the next multiple.
+    The syndrome is read off the sign bits of the posterior rows each
+    round already gathers, so checking is free; convergence of the
+    round-``t`` posterior is observed at the top of round ``t+1``
+    (``iterations`` counts the check-update rounds actually executed —
+    at most one more than the round that converged).  ``check_every``
+    is retained for API compatibility and ignored (the cadence trade-off
+    disappeared with the free syndrome check).
 
     ``msg_dtype`` sets the *message* precision (default f32).
     ``jnp.bfloat16`` halves the HBM traffic of the routing gathers — the
@@ -199,37 +209,40 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     quantisation of production min-sum hardware; expect a small BER shift
     near threshold, none away from it).
     """
+    del check_every  # syndrome checking is free in this formulation
     llr = jnp.asarray(llr, jnp.float32)
-    routing = _soft_routing(code)
-    mcv0 = tuple(jnp.zeros(llr.shape, msg_dtype) for _ in range(code.dv))
-    hard0 = llr < 0
-    count0 = jnp.sum(hard0).astype(jnp.int32)
+    to_var_idx = _soft_routing(code)
+    mcv0 = tuple(jnp.zeros((code.m, llr.shape[1]), msg_dtype)
+                 for _ in range(code.dc))
+    count0 = jnp.sum(llr < 0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
-    sat0 = _syndrome_ok(code, hard0)
 
     def cond(carry):
-        _, _, _, it, all_sat = carry
+        _, _, it, all_sat = carry
         return (it < max_iters) & ~all_sat
 
     def body(carry):
-        mcv, post, errors, it, _ = carry
-        mcv, post = _soft_iteration(code, llr, mcv, routing, method,
-                                    alpha, beta)
-        mcv = tuple(mcv)
-        hard = post < 0
-        errors = errors.at[it + 1].set(jnp.sum(hard).astype(jnp.int32))
-        all_sat = jax.lax.cond(
-            (it + 1) % check_every == 0,
-            lambda: jnp.all(_syndrome_ok(code, hard)),
-            lambda: jnp.asarray(False))
-        return (mcv, post, errors, it + 1, all_sat)
+        mcv, errors, it, _ = carry
+        mcv, post_prev, sat_prev = _soft_iteration(
+            code, llr, mcv, to_var_idx, method, alpha, beta)
+        # post_prev / sat_prev describe the posterior *entering* this
+        # round (after `it` check updates); record its error count.
+        errors = errors.at[it].set(
+            jnp.sum(post_prev < 0).astype(jnp.int32))
+        return (tuple(mcv), errors, it + 1, jnp.all(sat_prev))
 
-    mcv, post, errors, it, _ = jax.lax.while_loop(
-        cond, body, (mcv0, llr, errors, jnp.int32(0), jnp.all(sat0)))
+    mcv, errors, it, _ = jax.lax.while_loop(
+        cond, body, (mcv0, errors, jnp.int32(0), jnp.asarray(False)))
 
+    # reconstruct the final posterior from the check-resident state
+    mcv_flat = jnp.stack(mcv).reshape(code.dc * code.m, -1)
+    post = llr
+    for p in range(code.dv):
+        post = post + jnp.take(mcv_flat, to_var_idx[p],
+                               axis=0).astype(jnp.float32)
     hard = post < 0
     final_count = jnp.sum(hard).astype(jnp.int32)
-    tail = jnp.arange(max_iters + 1) > it
+    tail = jnp.arange(max_iters + 1) >= it
     errors = jnp.where(tail, final_count, errors)
     return SoftBPResult(hard=hard, posterior=post,
                         satisfied=_syndrome_ok(code, hard),
