@@ -7,6 +7,11 @@ only (channel generation excluded, matching the reference's C-decoder-only
 hot loop).  Target: >= 1e9 info bits/s/chip (vs_baseline = value / 1e9).
 
 Prints ONE JSON line.
+
+Flags:
+  --dry        tiny CPU run (pipeline/CI check, ~seconds; still one JSON line)
+  --spread=N   repeat the timed measurement N times and add best/worst/mean
+               fields to the JSON line (the headline "value" = mean)
 """
 
 import json
@@ -14,8 +19,19 @@ import sys
 import time
 
 
-def main():
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    dry = "--dry" in argv
+    spread = 1
+    for a in argv:
+        if a.startswith("--spread="):
+            spread = int(a.split("=", 1)[1])
+
     import jax
+
+    if dry:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -30,7 +46,7 @@ def main():
     n, dv, dc = 10_000, 3, 6
     iters = 50
     eps = 0.42
-    words = 768                      # 24576 trials per decode call
+    words = 8 if dry else 768        # 24576 trials per decode call on chip
     # words sweep on v5e (50-iter fixed-point decode, eps=0.42):
     # 128: 1.7, 256: 2.6, 384: 3.1, 512: ~4.9, 640: 4.6, 768: ~5.3,
     # 896: 3.0, 1024: 3.0 Gbit/s -- 768 is the repeatable peak.
@@ -49,20 +65,30 @@ def main():
     out = run_jit(erased)
     jax.block_until_ready(out)        # compile
 
-    reps = 5
-    start = time.perf_counter()
-    for _ in range(reps):
-        out = run_jit(erased)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - start) / reps
+    reps = 1 if dry else 5
+    samples = []
+    for _ in range(spread):
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = run_jit(erased)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter() - start) / reps)
 
-    info_bits_per_s = k * batch / elapsed
-    print(json.dumps({
+    rates = [k * batch / dt for dt in samples]
+    mean = sum(rates) / len(rates)
+    record = {
         "metric": "decoded info bits/s/chip (n=1e4, 50 BP iters, eps=0.42)",
-        "value": round(info_bits_per_s, 1),
+        "value": round(mean, 1),
         "unit": "bits/s",
-        "vs_baseline": round(info_bits_per_s / 1e9, 4),
-    }))
+        "vs_baseline": round(mean / 1e9, 4),
+    }
+    if spread > 1:
+        record["spread_min"] = round(min(rates), 1)
+        record["spread_max"] = round(max(rates), 1)
+        record["spread_n"] = spread
+    if dry:
+        record["dry_run"] = True
+    print(json.dumps(record))
     return 0
 
 

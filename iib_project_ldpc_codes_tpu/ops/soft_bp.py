@@ -183,10 +183,10 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
-                                   "check_every", "msg_dtype"))
+                                   "msg_dtype"))
 def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
                    method: str = "sumproduct", alpha: float = 1.0,
-                   beta: float = 0.0, check_every: int = 1,
+                   beta: float = 0.0,
                    msg_dtype=jnp.float32) -> SoftBPResult:
     """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
     (positive favours bit 0; ``AWGN.llr`` output).
@@ -198,9 +198,7 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     round already gathers, so checking is free; convergence of the
     round-``t`` posterior is observed at the top of round ``t+1``
     (``iterations`` counts the check-update rounds actually executed —
-    at most one more than the round that converged).  ``check_every``
-    is retained for API compatibility and ignored (the cadence trade-off
-    disappeared with the free syndrome check).
+    at most one more than the round that converged).
 
     ``msg_dtype`` sets the *message* precision (default f32).
     ``jnp.bfloat16`` halves the HBM traffic of the routing gathers — the
@@ -209,7 +207,6 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     quantisation of production min-sum hardware; expect a small BER shift
     near threshold, none away from it).
     """
-    del check_every  # syndrome checking is free in this formulation
     llr = jnp.asarray(llr, jnp.float32)
     to_var_idx = _soft_routing(code)
     mcv0 = tuple(jnp.zeros((code.m, llr.shape[1]), msg_dtype)

@@ -89,6 +89,26 @@ def test_cli_json_config(tmp_path):
     assert ".csv" in exts and ".json" in exts
 
 
+def test_cli_platform_tpu_pins_backend():
+    """--platform=tpu pins jax_platforms to a TPU-class plugin (or fails
+    loudly when none is registered) -- it must not silently no-op."""
+    prog = (
+        "import jax\n"
+        "from iib_project_ldpc_codes_tpu.cli import _apply_platform\n"
+        "try:\n"
+        "    _apply_platform('tpu', None)\n"
+        "    print('PINNED', jax.config.jax_platforms)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'no TPU backend' in str(e), e\n"
+        "    print('NO_TPU_REGISTERED')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout.strip().splitlines()[-1]
+    assert out == "NO_TPU_REGISTERED" or out.split()[-1] in ("axon", "tpu")
+
+
 def test_cli_usage_error():
     r = _run_cli(["0.4", "10"])
     assert r.returncode == 2
