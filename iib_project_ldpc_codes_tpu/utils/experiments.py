@@ -143,6 +143,147 @@ def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
 
 
 @dataclasses.dataclass
+class BPDecodingPaths:
+    """Per-trial BP erasure-count trajectories at one (n, eps).
+
+    The BP analogue of the reference's per-epsilon decoding-path export
+    (test_peeling_decoder_path.py:56-62): simulated per-iteration decoding
+    paths, here per *trial* (reference ``errors`` array semantics,
+    parallel_simulator.py:147-166) with outcome-conditional means and the
+    bit-erasure DE curve on the same axis.
+    """
+
+    n: int
+    dv: int
+    dc: int
+    erasure_prob: float
+    iterations: int
+    num_trials: int
+    trajectories: np.ndarray       # int32[trials, iterations+1]
+    failed: np.ndarray             # bool[trials]
+    mean_path: np.ndarray          # f64[iterations+1], fraction of n
+    mean_path_failed: np.ndarray   # conditional on decode failure (or NaN)
+    mean_path_success: np.ndarray  # conditional on success (or NaN)
+    de_path: np.ndarray            # modified DE bit-erasure curve
+
+    @property
+    def failure_rate(self) -> float:
+        return float(self.failed.mean())
+
+
+def bp_decoding_paths(n: int, dv: int, dc: int, erasure_prob: float,
+                      iterations: int, trials: int = 1024, seed: int = 0,
+                      code: Optional[LDPCCode] = None) -> BPDecodingPaths:
+    """Per-trial BP decoding paths via the packed trajectory kernel.
+
+    Drives :func:`..ops.erasure_bp.bp_decode_packed_traj` -- the only way
+    to observe per-trial erasure trajectories at Monte Carlo scale (32
+    trials/uint32; ~32x the counting work of the totals-only kernel, still
+    thousands of times faster than per-trial decodes).  All-zero transmit.
+    """
+    from ..ops.bitops import bernoulli_packed
+    from ..ops.erasure_bp import bp_decode_packed_traj
+
+    if trials % 32:
+        raise ValueError("trials must be a multiple of 32")
+    key = jax.random.key(seed)
+    k_code, k_noise = jax.random.split(key)
+    c = code if code is not None else sample_code(k_code, n, dv, dc)
+    erased = bernoulli_packed(k_noise, erasure_prob, (n, trials // 32))
+    res, traj = bp_decode_packed_traj(
+        c, erased, jnp.zeros_like(erased), iterations)
+    traj = np.asarray(traj).T                       # [trials, iters+1]
+    failed = np.asarray(res.failed)
+
+    def cond_mean(mask):
+        if not mask.any():
+            return np.full(iterations + 1, np.nan)
+        return traj[mask].mean(axis=0) / n
+
+    de = np.asarray(theory.modified_density_evolution(
+        erasure_prob, iterations, dv, dc))
+    de = np.concatenate([de, np.full(iterations + 1 - len(de), 0.0)])
+    return BPDecodingPaths(
+        n=n, dv=dv, dc=dc, erasure_prob=erasure_prob, iterations=iterations,
+        num_trials=trials, trajectories=traj, failed=failed,
+        mean_path=traj.mean(axis=0) / n,
+        mean_path_failed=cond_mean(failed),
+        mean_path_success=cond_mean(~failed),
+        de_path=de)
+
+
+def export_bp_decoding_paths(paths: BPDecodingPaths, directory: str) -> str:
+    """Write one structured JSON per epsilon (decoding-path export).
+
+    Structured replacement for the reference's per-epsilon CSV dump
+    (test_peeling_decoder_path.py:56-62): explicit metadata, the mean and
+    outcome-conditional simulated paths, the DE overlay, and the raw
+    per-trial trajectories.
+    """
+    import json
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(
+        directory,
+        f"bp_decoding_paths_eps={paths.erasure_prob}_n={paths.n}"
+        f"_dv={paths.dv}_dc={paths.dc}.json")
+    doc = dataclasses.asdict(paths)
+    for k, v in doc.items():
+        if isinstance(v, np.ndarray):
+            doc[k] = v.tolist()
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def export_peeling_paths(result: PeelingScalingResult, directory: str,
+                         legacy_csv: bool = True) -> str:
+    """Export a peeling R-process experiment's decoding paths.
+
+    Writes the reference-format analytic CSV
+    ``peeling_decoder_paths_<eps>.csv`` with header ['x', 'fraction of
+    edges'] (test_peeling_decoder_path.py:56-62: x = steps/(n eps),
+    fraction = drift/(n dv)) plus a structured JSON with the simulated
+    trajectories alongside the analytic curve.
+    """
+    import csv
+    import json
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    eps, n, dv = result.erasure_prob, result.n, result.dv
+    steps = len(result.drift)
+    xs = np.arange(steps) / max(steps - 1, 1)
+    frac = result.drift / (n * dv)
+
+    if legacy_csv:
+        cpath = os.path.join(directory, f"peeling_decoder_paths_{eps}.csv")
+        with open(cpath, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["x", "fraction of edges"])
+            for x, v in zip(xs, frac):
+                w.writerow([x, v])
+
+    jpath = os.path.join(
+        directory, f"peeling_decoder_paths_eps={eps}_n={n}.json")
+    with open(jpath, "w") as f:
+        json.dump({
+            "n": n, "dv": dv, "dc": result.dc, "erasure_prob": eps,
+            "repeats": result.repeats,
+            "x": xs.tolist(),
+            "analytic_fraction_of_edges": frac.tolist(),
+            "drift": result.drift.tolist(),
+            "critical_point": result.critical_point,
+            "trajectories": [
+                np.where(np.isnan(t), -1, t).astype(int).tolist()
+                for t in result.trajectories],
+            "sizes_at_failure": result.sizes_at_failure.tolist(),
+        }, f)
+    return jpath
+
+
+@dataclasses.dataclass
 class WaterfallResult:
     ns: List[int]
     erasure_probs: np.ndarray

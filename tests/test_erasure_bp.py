@@ -199,6 +199,82 @@ def test_allzero_fast_path_bit_identical():
     assert (np.asarray(full.failed) == np.asarray(fast.failed)).all()
 
 
+def test_packed_traj_bit_exact_per_trial():
+    """bp_decode_packed_traj trajectories == per-trial bp_decode errors,
+    exactly, and its aggregate result matches bp_decode_packed."""
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        bp_decode_packed_traj)
+
+    n, dv, dc, iters, W = 96, 3, 6, 40, 2
+    B = 32 * W
+    code = sample_code(jax.random.key(31), n, dv, dc)
+    mask = np.asarray(BEC(0.44).erasure_mask(jax.random.key(32), (n, B)))
+    erased = pack_bits(jnp.asarray(mask))
+    tx = jnp.zeros((n, W), jnp.uint32)
+    res, traj = bp_decode_packed_traj(code, erased, tx, iters)
+    traj = np.asarray(traj)
+    assert traj.shape == (iters + 1, B)
+    for b in range(B):
+        rx = np.where(mask[:, b], ERASURE, 0)
+        _, err, _ = bp_decode(code, jnp.asarray(rx), iters)
+        assert (traj[:, b] == np.asarray(err)).all(), f"trial {b}"
+    agg = bp_decode_packed(code, erased, tx, iters)
+    assert (np.asarray(res.error_totals)
+            == np.asarray(agg.error_totals)).all()
+    assert (np.asarray(res.failed) == np.asarray(agg.failed)).all()
+
+
+def test_traj_reproduces_expurgated_totals():
+    """Recomputing expurgated sums from per-trial trajectories equals the
+    Monte Carlo engine's two-pass expurgation exactly
+    (parallel_simulator_expurgated.py:238-243 semantics)."""
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        bp_decode_packed_traj)
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import _bp_chunk
+
+    n, dv, dc, iters, W = 96, 3, 6, 30, 4
+    s = 2  # expurgation parameter
+    code = sample_code(jax.random.key(41), n, dv, dc)
+    key = jax.random.key(42)
+    stats = _bp_chunk(code, key, n=n, words=W, iterations=iters,
+                      erasure_prob=0.46, expurgation=s)
+
+    erased = bernoulli_packed(key, 0.46, (n, W))
+    _, traj = bp_decode_packed_traj(code, erased, jnp.zeros_like(erased),
+                                    iters)
+    traj = np.asarray(traj)                  # [iters+1, B]
+    include = traj[-1] > s
+    assert int(stats.excluded) == int((~include).sum())
+    assert int(stats.block_errors) == int((include & (traj[-1] > 0)).sum())
+    assert int(stats.bit_errors) == int(traj[-1][include].sum())
+    np.testing.assert_array_equal(np.asarray(stats.error_totals),
+                                  traj[:, include].sum(axis=1))
+
+
+def test_bp_decoding_paths_experiment(tmp_path):
+    """The decoding-path experiment drives the traj kernel and exports."""
+    from iib_project_ldpc_codes_tpu.utils.experiments import (
+        bp_decoding_paths, export_bp_decoding_paths)
+
+    paths = bp_decoding_paths(96, 3, 6, 0.42, iterations=30, trials=64,
+                              seed=3)
+    assert paths.trajectories.shape == (64, 31)
+    # mean path starts near eps and is non-increasing
+    assert abs(paths.mean_path[0] - 0.42) < 0.1
+    assert (np.diff(paths.mean_path) <= 1e-12).all()
+    # failed trials end with erasures; successes end at zero
+    if paths.failed.any():
+        assert paths.mean_path_failed[-1] > 0
+    if (~paths.failed).any():
+        assert paths.mean_path_success[-1] == 0
+    out = export_bp_decoding_paths(paths, str(tmp_path))
+    import json
+    doc = json.loads(open(out).read())
+    assert doc["erasure_prob"] == 0.42
+    assert len(doc["trajectories"]) == 64
+
+
 def test_packed_nonzero_codewords_match_naive():
     """Value-plane adoption on real (nonzero) codewords: every lane of the
     packed decode equals the naive {0,1,2} decode bit-for-bit."""

@@ -107,6 +107,57 @@ def test_sharded_matches_single_device():
     assert r1.num_trials == r_single.num_trials
 
 
+def test_sharded_counters_exact_sum():
+    """The mesh chunk's psum'd ChunkStats equal -- exactly, as integers --
+    the sum of single-device chunks run with the same fold_in(key, idx)
+    keys (SURVEY.md section 2 reduction semantics: 'exactly psum on a few
+    small int vectors')."""
+    cfg = small_cfg(batch=512, num_tests=512)
+    code = sample_code(jax.random.key(1), cfg.n, cfg.dv, cfg.dc)
+    mesh = make_mesh()
+    n_dev = mesh.size
+    assert n_dev == 8
+
+    key = jax.random.key(42)
+    sharded = jax.device_get(make_chunk_fn(cfg, code, mesh)(key))
+
+    cfg_one = small_cfg(batch=cfg.batch // n_dev, num_tests=512)
+    single_fn = make_chunk_fn(cfg_one, code, mesh=None)
+    parts = [jax.device_get(single_fn(jax.random.fold_in(key, d)))
+             for d in range(n_dev)]
+
+    assert int(sharded.block_errors) == sum(
+        int(p.block_errors) for p in parts)
+    assert int(sharded.bit_errors) == sum(int(p.bit_errors) for p in parts)
+    assert int(sharded.excluded) == sum(int(p.excluded) for p in parts)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.error_totals, np.int64),
+        np.sum([np.asarray(p.error_totals, np.int64) for p in parts],
+               axis=0))
+
+
+def test_sharded_counters_exact_sum_ensemble():
+    """Same exact-integer identity on the ensemble (fresh codes) path."""
+    cfg = small_cfg(code_mode="ensemble", codes_per_chunk=16, batch=512,
+                    num_tests=512)
+    mesh = make_mesh()
+    n_dev = mesh.size
+    key = jax.random.key(5)
+    sharded = jax.device_get(make_chunk_fn(cfg, None, mesh)(key))
+    cfg_one = small_cfg(code_mode="ensemble",
+                        codes_per_chunk=cfg.codes_per_chunk // n_dev,
+                        batch=cfg.batch // n_dev, num_tests=512)
+    single_fn = make_chunk_fn(cfg_one, None, mesh=None)
+    parts = [jax.device_get(single_fn(jax.random.fold_in(key, d)))
+             for d in range(n_dev)]
+    assert int(sharded.block_errors) == sum(
+        int(p.block_errors) for p in parts)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.error_totals, np.int64),
+        np.sum([np.asarray(p.error_totals, np.int64) for p in parts],
+               axis=0))
+
+
 def test_result_roundtrip(tmp_path):
     cfg = small_cfg(num_tests=256, batch=256, output_dir=str(tmp_path),
                     write_legacy_csv=True)

@@ -114,6 +114,28 @@ def test_peeling_scaling_experiment_runs():
         assert t[0] == 0.0
 
 
+def test_export_peeling_paths(tmp_path):
+    """Per-epsilon decoding-path export: reference-format CSV + JSON
+    (test_peeling_decoder_path.py:56-62 role)."""
+    import csv
+    import json
+
+    from iib_project_ldpc_codes_tpu.utils.experiments import (
+        export_peeling_paths)
+
+    exp = peeling_scaling_experiment(n=120, dv=3, dc=6, erasure_prob=0.34,
+                                     repeats=10, seed=1)
+    jpath = export_peeling_paths(exp, str(tmp_path))
+    doc = json.loads(open(jpath).read())
+    assert doc["erasure_prob"] == 0.34
+    assert len(doc["trajectories"]) == 10
+    assert len(doc["x"]) == len(doc["analytic_fraction_of_edges"])
+    cpath = tmp_path / "peeling_decoder_paths_0.34.csv"
+    rows = list(csv.reader(open(cpath)))
+    assert rows[0] == ["x", "fraction of edges"]
+    assert len(rows) == 1 + len(doc["x"])
+
+
 def test_waterfall_curves():
     w = waterfall_curves([1000, 5000])
     assert len(w.curves) == 2
