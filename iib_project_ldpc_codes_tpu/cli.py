@@ -90,21 +90,14 @@ def main(argv=None) -> int:
 
     import jax
 
-    from .models.ensemble import sample_code
+    from .models.ensemble import code_for_config
     from .parallel.mesh import make_mesh
     from .parallel.montecarlo import run_simulation
     from .utils.results import save_result
 
     code = None
     if cfg.code_mode == "fixed" or cfg.decoder == "peeling":
-        # deterministic code keyed by (code_number, n, dv, dc) -- the
-        # replacement for the reference's .npy parity-check cache
-        # (parallel_simulator.py:289-335): regenerating from the key is
-        # exact, so nothing needs to be stored.
-        code_key = jax.random.fold_in(
-            jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),
-            cfg.dv * 1000 + cfg.dc)
-        code = sample_code(code_key, cfg.n, cfg.dv, cfg.dc, cfg.sampler)
+        code = code_for_config(cfg)
 
     mesh = None
     if n_devices and n_devices > 1:

@@ -1,6 +1,7 @@
 from .code import (LDPCCode, code_from_checks, code_from_dense,
                    dense_parity_check, validate_code)
-from .ensemble import sample_check_table, sample_code, sample_codes
+from .ensemble import (code_for_config, sample_check_table, sample_code,
+                       sample_codes)
 
 __all__ = [
     "LDPCCode",
@@ -9,6 +10,7 @@ __all__ = [
     "dense_parity_check",
     "validate_code",
     "sample_check_table",
+    "code_for_config",
     "sample_code",
     "sample_codes",
 ]

@@ -160,3 +160,19 @@ def sample_codes(key: jax.Array, num: int, n: int, dv: int, dc: int,
     chk = jax.vmap(lambda k: sample_check_table(k, n, dv, dc, method))(keys)
     build = jax.vmap(lambda c: code_from_checks(c, n=n, dv=dv, dc=dc))
     return build(chk)
+
+
+def code_for_config(cfg) -> "LDPCCode":
+    """Deterministic fixed code keyed by (code_number, n, dv, dc).
+
+    The replacement for the reference's ``.npy`` parity-check cache
+    (parallel_simulator.py:289-335): regenerating from the key is exact,
+    so nothing needs to be stored -- and every process of a multi-host
+    job derives the *same* code without any broadcast.
+    """
+    import jax
+
+    code_key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),
+        cfg.dv * 1000 + cfg.dc)
+    return sample_code(code_key, cfg.n, cfg.dv, cfg.dc, cfg.sampler)

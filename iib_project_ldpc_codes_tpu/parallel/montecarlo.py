@@ -450,6 +450,21 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     chunk_fn = make_chunk_fn(cfg, code, mesh)
     key = jax.random.key(cfg.seed)
 
+    # Multi-host: the counter-based stopping rules agree everywhere (the
+    # psum'd totals are replicated), but the wall clock is per-process --
+    # a divergent stop would strand the other processes in a collective.
+    # Process 0's clock is authoritative, broadcast each chunk.
+    multi_process = jax.process_count() > 1
+
+    def wall_clock_exceeded(elapsed: float) -> bool:
+        hit = elapsed > cfg.max_seconds
+        if multi_process:
+            from jax.experimental import multihost_utils
+
+            hit = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(hit)))
+        return hit
+
     start = time.time()
     trials = 0
     chunk_idx = 0
@@ -490,16 +505,18 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         excluded += int(stats.excluded)
         trials += cfg.batch
         chunk_idx += 1
-        if cfg.checkpoint_path and \
+        if cfg.checkpoint_path and not (multi_process
+                                        and jax.process_index() != 0) and \
                 chunk_idx % cfg.checkpoint_every_chunks == 0:
             write_checkpoint()
         if block_errors >= cfg.max_block_errors:
             stopped_by = "block_errors"
             break
-        if time.time() - start > cfg.max_seconds:
+        if wall_clock_exceeded(time.time() - start):
             stopped_by = "wall_clock"
             break
-    if cfg.checkpoint_path:
+    if cfg.checkpoint_path and not (multi_process
+                                    and jax.process_index() != 0):
         write_checkpoint()
 
     elapsed = time.time() - start

@@ -1,0 +1,111 @@
+"""Multi-host (jax.distributed) integration tests.
+
+Launches a real 2-process ``jax.distributed`` job on the CPU backend
+(coordinator on localhost) running one psum'd Monte Carlo simulation over
+the 2-device global mesh, and checks:
+
+  * both processes join, agree on every psum'd counter, and stop together;
+  * only process 0 writes the result file (the collective replacement for
+    the reference's offline shard merge, tools/combine_data.py:32-95);
+  * the counters equal -- exactly -- a single-process run over a 2-device
+    virtual mesh with the same config (same fold_in(key, axis_index)
+    seeding, so the process boundary must be invisible).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import pytest
+
+from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+ARGV = ["0.45", "128", "20", "96", "3", "6", "3", "7"]  # mode 3: fixed BP
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(port: int, pid: int, outdir: str) -> subprocess.Popen:
+    cmd = [sys.executable, "-m",
+           "iib_project_ldpc_codes_tpu.parallel.multihost",
+           f"--coordinator=127.0.0.1:{port}", "--num-processes=2",
+           f"--process-id={pid}", "--platform=cpu", "--cpu-devices=1",
+           f"--output-dir={outdir}"] + ARGV
+    env = dict(os.environ)
+    # the workers manage their own device counts; drop the test harness's
+    # 8-virtual-device forcing so each process contributes exactly 1 device
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+
+@pytest.fixture(scope="module")
+def two_process_outputs(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("mh"))
+    port = _free_port()
+    procs = [_launch(port, pid, outdir) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    return outs, outdir
+
+
+def test_two_processes_join_and_agree(two_process_outputs):
+    outs, _ = two_process_outputs
+    by_pid = {o["process_index"]: o for o in outs}
+    assert set(by_pid) == {0, 1}
+    for o in outs:
+        assert o["distributed"] is True
+        assert o["process_count"] == 2
+        assert o["mesh_devices"] == 2
+    a, b = by_pid[0], by_pid[1]
+    assert a["num_trials"] == b["num_trials"]
+    assert a["block_errors"] == b["block_errors"]
+    assert a["bit_errors"] == b["bit_errors"]
+    assert a["error_counts_per_iteration"] == \
+        b["error_counts_per_iteration"]
+    assert a["stopped_by"] == b["stopped_by"]
+
+
+def test_primary_only_writer(two_process_outputs):
+    outs, outdir = two_process_outputs
+    by_pid = {o["process_index"]: o for o in outs}
+    assert by_pid[0]["is_primary"] and by_pid[0]["wrote"]
+    assert not by_pid[1]["is_primary"] and by_pid[1]["wrote"] is None
+    files = os.listdir(outdir)
+    assert len(files) == 1  # exactly one result written
+
+
+def test_matches_single_process_mesh_exactly(two_process_outputs):
+    """Cross-process psum == in-process 2-virtual-device mesh, exactly."""
+    outs, _ = two_process_outputs
+    got = outs[0]
+    cfg = SimulationConfig.from_reference_argv(ARGV)
+    code = code_for_config(cfg)
+    mesh = make_mesh(jax.devices()[:2])
+    want = run_simulation(cfg, code=code, mesh=mesh)
+    assert got["num_trials"] == want.num_trials
+    assert got["block_errors"] == want.block_errors
+    assert got["bit_errors"] == want.bit_errors
+    assert got["error_counts_per_iteration"] == \
+        want.error_counts_per_iteration
