@@ -65,6 +65,14 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.peel_decode_trials_hist.restype = ctypes.c_int
+        lib.peel_decode_trials_hist.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
         _lib = None
@@ -144,3 +152,51 @@ def peel_decode_trials_native(chk_to_var: np.ndarray,
     if rc != 0:
         return None
     return unresolved.astype(bool), evolution, steps, erasures
+
+
+def peel_decode_trials_hist_native(chk_to_var: np.ndarray,
+                                   var_to_chk: np.ndarray,
+                                   erased: np.ndarray, seed: int,
+                                   sample_u: np.ndarray
+                                   ) -> Optional[Tuple[np.ndarray,
+                                                       np.ndarray,
+                                                       np.ndarray]]:
+    """Peel a batch recording residual check-degree histograms.
+
+    ``sample_u`` is a strictly-descending int32 vector of
+    unresolved-variable counts at which to snapshot the histogram
+    (u = n(1-t) in the theory time units of
+    utils.theory.degree_distribution_at_time).
+
+    Returns ``(hist[trials, len(sample_u), dc+1] int32 (-1 rows =
+    snapshot never reached), unresolved[trials, n] bool,
+    num_erasures[trials] int32)`` or None if the library is unavailable.
+    The peel order matches :func:`peel_decode_trials_native` exactly for
+    equal (seed, trial).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    chk_to_var = np.ascontiguousarray(chk_to_var, np.int32)
+    var_to_chk = np.ascontiguousarray(var_to_chk, np.int32)
+    erased = np.ascontiguousarray(erased, np.uint8)
+    sample_u = np.ascontiguousarray(sample_u, np.int32)
+    trials, n = erased.shape
+    m, dc = chk_to_var.shape
+    dv = var_to_chk.shape[1]
+    ns = len(sample_u)
+    hist = np.zeros((trials, ns, dc + 1), np.int32)
+    unresolved = np.zeros((trials, n), np.uint8)
+    steps = np.zeros(trials, np.int32)
+    erasures = np.zeros(trials, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.peel_decode_trials_hist(
+        chk_to_var.ctypes.data_as(i32p), var_to_chk.ctypes.data_as(i32p),
+        n, m, dv, dc, erased.ctypes.data_as(u8p), trials,
+        ctypes.c_uint64(seed), sample_u.ctypes.data_as(i32p), ns,
+        hist.ctypes.data_as(i32p), unresolved.ctypes.data_as(u8p),
+        steps.ctypes.data_as(i32p), erasures.ctypes.data_as(i32p))
+    if rc != 0:
+        return None
+    return hist, unresolved.astype(bool), erasures

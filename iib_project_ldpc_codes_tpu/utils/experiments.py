@@ -143,6 +143,141 @@ def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
 
 
 @dataclasses.dataclass
+class ResidualDegreeResult:
+    """Simulated vs analytic residual-graph check-degree distributions.
+
+    The validation the reference sketches at
+    test_peeling_decoder_path.py:96-116: during peeling, the residual
+    graph's check-degree distribution should follow the matrix-exponential
+    evolution expm(-C ln((1-t)/eps)) X_init.  ``empirical``/``analytic``
+    are in the expm curves' units: X_d(t) = (edges into degree-d residual
+    checks) / (n dv), so sum_d X_d(t) = 1 - t.
+    """
+
+    n: int
+    dv: int
+    dc: int
+    erasure_prob: float
+    repeats: int
+    sample_u: np.ndarray    # int[S] unresolved-variable counts sampled
+    times: np.ndarray       # f64[S] normalized times t = 1 - u/n
+    empirical: np.ndarray   # f64[S, dc] mean X_d over surviving trials
+    stderr: np.ndarray      # f64[S, dc] standard error of that mean
+    analytic: np.ndarray    # f64[S, dc] expm prediction
+    survivors: np.ndarray   # int[S] trials that reached each snapshot
+
+    @property
+    def max_abs_error(self) -> float:
+        return float(np.max(np.abs(self.empirical - self.analytic)))
+
+
+def _peel_hist_python(chk_to_var, var_to_chk, erased_row, sample_u, rng):
+    """Pure-numpy fallback of native peel_decode_trials_hist (one trial)."""
+    n, dv = var_to_chk.shape
+    m, dc = chk_to_var.shape
+    un = erased_row.astype(bool).copy()
+    deg = un[chk_to_var].sum(axis=1)
+    hist = np.bincount(deg, minlength=dc + 1)
+    out = np.full((len(sample_u), dc + 1), -1, np.int64)
+    u = int(un.sum())
+    si = 0
+    while si < len(sample_u) and sample_u[si] > u:
+        si += 1
+    if si < len(sample_u) and sample_u[si] == u:
+        out[si] = hist
+        si += 1
+    ones = list(np.nonzero(deg == 1)[0])
+    while ones:
+        c = ones[rng.integers(len(ones))]
+        if deg[c] != 1:       # stale entry: lazy deletion
+            ones.remove(c)
+            continue
+        row = chk_to_var[c]
+        v = row[un[row]][0]
+        un[v] = False
+        u -= 1
+        for c2 in var_to_chk[v]:
+            old = deg[c2]
+            deg[c2] -= 1
+            hist[old] -= 1
+            hist[old - 1] += 1
+            if old == 2:
+                ones.append(c2)
+        ones = [c for c in ones if deg[c] == 1]
+        if si < len(sample_u) and sample_u[si] == u:
+            out[si] = hist
+            si += 1
+    return out
+
+
+def residual_degree_experiment(n: int, dv: int, dc: int, erasure_prob: float,
+                               times=(0.65, 0.75, 0.85), repeats: int = 64,
+                               seed: int = 0,
+                               code: Optional[LDPCCode] = None
+                               ) -> ResidualDegreeResult:
+    """Measure residual check-degree distributions during actual peeling
+    and compare with the expm theory curves
+    (utils.theory.degree_distribution_at_time; reference
+    test_peeling_decoder_path.py:96-116).
+
+    Snapshots are taken when the unresolved-variable count first equals
+    u = round(n(1-t)) -- fixed u rather than fixed peel-step, so every
+    surviving trial is observed at exactly the theory's time coordinate.
+    Fresh code per repeat (the reference experiment's convention,
+    peeling_decoder.py:136-140) unless ``code`` is given.  Uses the native
+    O(E) peeler when available, a numpy fallback otherwise.
+    """
+    from ..native import peel_decode_trials_hist_native
+    from ..ops.channels import ERASURE
+
+    sample_u = np.array(sorted({int(round(n * (1.0 - t))) for t in times},
+                               reverse=True), np.int32)
+    ts = 1.0 - sample_u.astype(float) / n
+    analytic = np.stack([
+        theory.degree_distribution_at_time(erasure_prob, t, dv, dc)
+        for t in ts])
+
+    key = jax.random.key(seed)
+    ch = BEC(erasure_prob)
+    degs = np.arange(1, dc + 1, dtype=float)
+    samples = [[] for _ in sample_u]
+    rng_fallback = np.random.default_rng(seed)
+    for i in range(repeats):
+        k_code, k_noise = jax.random.split(jax.random.fold_in(key, i))
+        c = code if code is not None else sample_code(k_code, n, dv, dc)
+        rx = ch.transmit(k_noise, jnp.zeros(n, jnp.int32))
+        erased = (np.asarray(rx) == ERASURE)
+        out = peel_decode_trials_hist_native(
+            np.asarray(c.chk_to_var), np.asarray(c.var_to_chk),
+            erased[None, :], seed=seed * 1_000_003 + i, sample_u=sample_u)
+        if out is not None:
+            hist = out[0][0]                       # [S, dc+1]
+        else:
+            hist = _peel_hist_python(np.asarray(c.chk_to_var),
+                                     np.asarray(c.var_to_chk), erased,
+                                     sample_u, rng_fallback)
+        for s in range(len(sample_u)):
+            if hist[s, 0] >= 0:
+                samples[s].append(hist[s, 1:] * degs / (n * dv))
+
+    S = len(sample_u)
+    empirical = np.full((S, dc), np.nan)
+    stderr = np.full((S, dc), np.nan)
+    survivors = np.zeros(S, int)
+    for s in range(S):
+        if samples[s]:
+            arr = np.stack(samples[s])
+            survivors[s] = len(arr)
+            empirical[s] = arr.mean(axis=0)
+            stderr[s] = arr.std(axis=0, ddof=1) / math.sqrt(len(arr)) \
+                if len(arr) > 1 else np.inf
+    return ResidualDegreeResult(
+        n=n, dv=dv, dc=dc, erasure_prob=erasure_prob, repeats=repeats,
+        sample_u=sample_u, times=ts, empirical=empirical, stderr=stderr,
+        analytic=analytic, survivors=survivors)
+
+
+@dataclasses.dataclass
 class BPDecodingPaths:
     """Per-trial BP erasure-count trajectories at one (n, eps).
 

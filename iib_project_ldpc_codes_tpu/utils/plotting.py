@@ -173,3 +173,26 @@ def plot_critical_histogram(exp, bins: int = 40):
     ax.legend(fontsize=8)
     ax.grid(alpha=0.3)
     return fig
+
+
+def plot_degree_distributions(res, bar_width: float = 0.35):
+    """Simulated vs analytic residual check-degree distributions
+    (one panel per sampled time; reference test_peeling_decoder_path.py
+    :96-116 comparison, here with error bars)."""
+    plt = _plt()
+    S = len(res.times)
+    fig, axes = plt.subplots(1, S, figsize=(4 * S, 3.2), squeeze=False)
+    degs = np.arange(1, res.dc + 1)
+    for s, ax in enumerate(axes[0]):
+        ax.bar(degs - bar_width / 2, res.empirical[s], bar_width,
+               yerr=res.stderr[s], label="simulated", capsize=3)
+        ax.bar(degs + bar_width / 2, res.analytic[s], bar_width,
+               label="expm theory")
+        ax.set_title(f"t = {res.times[s]:.2f} "
+                     f"({res.survivors[s]}/{res.repeats} trials)")
+        ax.set_xlabel("residual check degree")
+        ax.set_ylabel("edge fraction $X_d$")
+        ax.legend()
+    fig.suptitle(f"({res.dv},{res.dc}) n={res.n} eps={res.erasure_prob}")
+    fig.tight_layout()
+    return fig
