@@ -1,13 +1,16 @@
 """Soft-BP throughput benchmark on the real chip (check-resident kernel).
 
-Measures decoded info bits/s for sum-product and min-sum at n=8192
-(BASELINE.json config 3 workload), f32 vs bf16 message planes, over a
-batch-width sweep.  Run from the repo root:  python examples/bench_soft_bp.py
+Measures decoded info bits/s for the AWGN n=8192 workload (BASELINE.json
+config 3) across message dtypes (f32 / bf16 / int8 quantised min-sum) and
+batch widths, 50 iterations.  Run from the repo root:
+
+    python examples/bench_soft_bp.py
 """
 import sys
 import time
 
 sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,16 +43,18 @@ def bench(method, dtype, B, reps=3):
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t) / reps
     gbps = k * B / dt / 1e9
-    name = 'bf16' if dtype == jnp.bfloat16 else np.dtype(dtype).name
+    name = {jnp.bfloat16: "bf16", jnp.int8: "int8"}.get(
+        dtype, np.dtype(dtype).name)
     print(f"{method:10s} {name:8s} B={B:5d} compile={tc:5.1f}s "
           f"{dt*1e3:8.1f} ms  {gbps:.4f} Ginfobit/s", flush=True)
     return gbps
 
 
-bench("sumproduct", jnp.bfloat16, 1024)
 bench("sumproduct", jnp.float32, 1024)
+bench("sumproduct", jnp.bfloat16, 1024)
 bench("minsum", jnp.bfloat16, 1024)
+bench("minsum", jnp.int8, 1024)
+bench("minsum", jnp.int8, 2048)
+bench("minsum", jnp.int8, 3072)
 bench("sumproduct", jnp.bfloat16, 2048)
-bench("minsum", jnp.bfloat16, 2048)
-bench("minsum", jnp.bfloat16, 512)
 print("DONE", flush=True)

@@ -1,35 +1,51 @@
-"""Soft-decision BP for the AWGN channel: min-sum and sum-product.
+"""Soft-decision BP for AWGN/BSC LLRs: sum-product, min-sum, int8 min-sum.
 
 Behaviour extension over the reference (BEC-only) per BASELINE.json config 3
 ("AWGN sum-product BP, n=8192, batched Monte Carlo BER/FER curve").  Same
 edge-list gather skeleton as the erasure/Gallager kernels; message algebra
-is real-valued LLRs, batch in the trailing (lane) dimension, float32.
+is real-valued LLRs, batch in the trailing (lane) dimension.
 
-The decoder state is *check-resident*: the only persistent message
-array is the check->variable messages as dc contiguous planes
-[m, B] in the working dtype, plus the f32 posterior [n, B].  Each
-round gathers the posterior to the check side (variable->check message
-= posterior - own incoming, the extrinsic subtraction done at the
-check side), runs the check update in place, and routes the new
-check messages back through one static per-socket index table.  This
-halves the HBM traffic of the earlier two-sided plane formulation:
-variable->check messages are never materialised in variable layout,
-and the parity-check syndrome falls out of the sign bits of the
-posterior rows the round gathers anyway (no separate syndrome gather).
-Strided [m, dc, B] slicing lowers poorly on TPU (see ops/erasure_bp.py),
-hence the per-socket contiguous planes.
+The decoder state is *check-resident* and stored as ONE flat array of
+check->variable messages, [dc*m, B] in the working dtype (rows j*m..j*m+m
+= socket j's plane).  Each round:
+
+  1. variable update: posterior = llr + sum of dv incoming messages
+     (dv gathers of flat rows -- the only persistent state read);
+  2. the posterior is cast to the working dtype and gathered to the check
+     side (dc gathers); the parity-check syndrome falls out of the sign
+     bits of those rows, so convergence checking is free;
+  3. extrinsic subtraction at the check side (gathered posterior minus own
+     incoming message, read as a *contiguous slice* of the flat state) and
+     the check update, written back as one concatenate.
+
+v5e measurements (n=8192, 50 iterations; see docs/VALIDATION.md): the flat
+carry is ~1.2x the earlier stacked-planes form (the per-round
+stack/reshape copy is gone -- slices of the flat array are free), and the
+round is gather-bandwidth-bound, so throughput tracks message byte width:
+f32 0.056 -> bf16 ~0.12 -> int8 ~0.17 Ginfobit/s.
+
+Working dtypes (``msg_dtype``):
+  * float32 -- exact reference arithmetic;
+  * bfloat16 -- halves the gather traffic; the posterior and check-update
+    arithmetic stay f32 (8 mantissa bits match the 6-8 bit quantisation of
+    production min-sum hardware; tiny BER shift near threshold only);
+  * int8 (min-sum only) -- production-style quantised decoder: LLRs scaled
+    by ``int8_scale`` (default 4 LSB/LLR-unit, saturating at +-127 ~=
+    +-31.75 LLR), int16 accumulation.  The saturation acts like an offset
+    correction, so its BER at moderate SNR is on par with (measured:
+    slightly better than) unnormalised f32 min-sum.
 
 Check update:
   * min-sum: extrinsic |m| and sign via prefix/suffix min / sign-product
-    scans (O(dc) instead of the O(dc^2) leave-one-out loop); optional
-    normalisation (alpha) and offset (beta) corrections;
+    scans (O(dc) instead of the reference's O(dc^2) leave-one-out loop,
+    message_passing.c:30-37); optional normalisation (alpha) and offset
+    (beta) corrections;
   * sum-product: 2 atanh(prod tanh(m/2)) computed extrinsically with
     prefix/suffix products in tanh space, clipped for stability.
 
-Variable update: total-sum minus own message.  Decision: sign of the
-posterior LLR; convergence via the parity-check syndrome (early exit
-when every check of every trial is satisfied), replacing the
-BEC-specific erasure-count rules.
+Decision: sign of the posterior LLR; convergence via the parity-check
+syndrome (early exit when every check of every trial is satisfied),
+replacing the BEC-specific erasure-count rules.
 """
 
 from __future__ import annotations
@@ -43,6 +59,7 @@ from ..models.code import LDPCCode
 
 _LLR_CLIP = 30.0
 _TANH_CLIP = 0.999999
+_INT8_MAX = 127
 
 
 @jax.tree_util.register_dataclass
@@ -65,17 +82,21 @@ class SoftBPResult:
         return jnp.any(self.hard, axis=0)
 
 
-def _check_update_minsum(planes, alpha: float, beta: float):
-    """dc contiguous planes f32[m, B] -> dc extrinsic planes.
+def _check_update_minsum(planes, alpha: float, beta: float, mag_cap=None):
+    """dc planes [m, B] -> dc extrinsic planes (f32 or integer math).
 
     Extrinsic |m| via prefix/suffix mins (no one-hot two-min bookkeeping
     needed in plane form), extrinsic sign via prefix/suffix sign products.
+    ``mag_cap`` saturates the output magnitude (int8 quantised path).
     """
     dc = len(planes)
     mags = [jnp.abs(p) for p in planes]
-    sgns = [jnp.signbit(p) for p in planes]
-    inf = jnp.full_like(planes[0], jnp.inf)
-    pre_m, suf_m = [inf], [inf]
+    sgns = [p < 0 for p in planes]
+    if mag_cap is None:
+        big = jnp.full_like(planes[0], jnp.inf)
+    else:
+        big = jnp.full_like(planes[0], 4 * mag_cap)
+    pre_m, suf_m = [big], [big]
     pre_s = [jnp.zeros_like(sgns[0])]
     suf_s = [jnp.zeros_like(sgns[0])]
     for j in range(dc - 1):
@@ -93,6 +114,8 @@ def _check_update_minsum(planes, alpha: float, beta: float):
             mag = jnp.maximum(mag - beta, 0.0)
         if alpha != 1.0:
             mag = alpha * mag
+        if mag_cap is not None:
+            mag = jnp.minimum(mag, jnp.asarray(mag_cap, mag.dtype))
         out.append(jnp.where(pre_s[j] ^ suf_s[j], -mag, mag))
     return out
 
@@ -113,58 +136,12 @@ def _check_update_sumproduct(planes):
             for j in range(dc)]
 
 
-def _soft_iteration(code: LDPCCode, llr: jax.Array, mcv_rows,
-                    to_var_idx, method: str, alpha: float, beta: float):
-    """One flooding round over check-resident state.
-
-    ``mcv_rows``: dc contiguous planes [m, B] of check->variable
-    messages in check layout, in the working ``dtype`` (f32 or bf16);
-    ``llr`` the f32 channel LLRs.  The posterior is reconstructed from
-    the incoming messages (llr + sum), cast once to the working dtype,
-    and gathered to the check side, where the extrinsic subtraction
-    (posterior - own incoming) happens in f32 — variable->check
-    messages never touch HBM in variable layout.  Returns
-    (new mcv planes, posterior f32, entering-posterior syndrome ok
-    bool[B]).
-    """
-    dv, dc = code.dv, code.dc
-    dtype = mcv_rows[0].dtype
-
-    # variable update: posterior = llr + sum of incoming (dv gathers
-    # from the stacked check planes, traffic in the working dtype)
-    mcv_flat = jnp.stack(mcv_rows).reshape(dc * code.m, -1)
-    posterior = llr
-    for p in range(dv):
-        posterior = posterior + jnp.take(
-            mcv_flat, to_var_idx[p], axis=0).astype(jnp.float32)
-
-    # route the posterior to the check side (working dtype); the
-    # syndrome of this posterior falls out of the gathered sign bits
-    post_msg = posterior.astype(dtype)
-    post_rows = [jnp.take(post_msg, code.chk_to_var[:, j], axis=0)
-                 for j in range(dc)]
-    parity = post_rows[0] < 0
-    for j in range(1, dc):
-        parity = parity ^ (post_rows[j] < 0)
-    sat = ~jnp.any(parity, axis=0)
-
-    # extrinsic subtraction at the check side + check update (f32 math)
-    rows = [jnp.clip(post_rows[j].astype(jnp.float32)
-                     - mcv_rows[j].astype(jnp.float32),
-                     -_LLR_CLIP, _LLR_CLIP) for j in range(dc)]
-    if method == "minsum":
-        new_rows = _check_update_minsum(rows, alpha, beta)
-    else:
-        new_rows = _check_update_sumproduct(rows)
-    return [r.astype(dtype) for r in new_rows], posterior, sat
-
-
 def _soft_routing(code: LDPCCode):
     """Static per-socket table: variable socket p -> flat check-plane row.
 
-    ``to_var_idx[p][v]`` indexes the stacked [dc*m, B] check planes at
-    the message feeding socket p of variable v (edge e = c*dc + j maps
-    to flat row j*m + c).
+    ``to_var_idx[p][v]`` indexes the flat [dc*m, B] check state at the
+    message feeding socket p of variable v (edge e = c*dc + j maps to
+    flat row j*m + c).
     """
     dv, dc, m = code.dv, code.dc, code.m
     to_var_idx = []
@@ -172,6 +149,57 @@ def _soft_routing(code: LDPCCode):
         e = code.var_to_edge[:, p]
         to_var_idx.append((e % dc) * m + e // dc)
     return to_var_idx
+
+
+def _posterior(code: LDPCCode, llr0, mcv, to_var_idx, acc_dtype):
+    """posterior = channel LLR + sum of dv incoming messages (acc dtype)."""
+    post = llr0.astype(acc_dtype)
+    for p in range(code.dv):
+        post = post + jnp.take(mcv, to_var_idx[p], axis=0).astype(acc_dtype)
+    return post
+
+
+def _soft_iteration(code: LDPCCode, llr0, mcv, to_var_idx, method: str,
+                    alpha: float, beta: float, acc_dtype, quantised: bool):
+    """One flooding round over the flat check-resident state.
+
+    Returns (new flat mcv, posterior entering this round, syndrome-ok
+    bool[B] of that posterior).  ``llr0`` is the channel LLR in the
+    round's input representation (f32, or int8-quantised).
+    """
+    dc, m = code.dc, code.m
+    dtype = mcv.dtype
+
+    post = _posterior(code, llr0, mcv, to_var_idx, acc_dtype)
+
+    # route the posterior to the check side in the working dtype; the
+    # syndrome falls out of the gathered sign bits
+    if quantised:
+        pm = jnp.clip(post, -_INT8_MAX, _INT8_MAX).astype(dtype)
+    else:
+        pm = post.astype(dtype)
+    post_rows = [jnp.take(pm, code.chk_to_var[:, j], axis=0)
+                 for j in range(dc)]
+    parity = post_rows[0] < 0
+    for j in range(1, dc):
+        parity = parity ^ (post_rows[j] < 0)
+    sat = ~jnp.any(parity, axis=0)
+
+    # extrinsic subtraction at the check side: own incoming message is a
+    # contiguous slice of the flat state
+    rows = [post_rows[j].astype(acc_dtype)
+            - mcv[j * m:(j + 1) * m].astype(acc_dtype) for j in range(dc)]
+    if quantised:
+        new_rows = _check_update_minsum(rows, alpha, beta,
+                                        mag_cap=_INT8_MAX)
+    else:
+        rows = [jnp.clip(r, -_LLR_CLIP, _LLR_CLIP) for r in rows]
+        if method == "minsum":
+            new_rows = _check_update_minsum(rows, alpha, beta)
+        else:
+            new_rows = _check_update_sumproduct(rows)
+    new_mcv = jnp.concatenate([r.astype(dtype) for r in new_rows], axis=0)
+    return new_mcv, post, sat
 
 
 def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
@@ -183,11 +211,11 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
-                                   "msg_dtype"))
+                                   "msg_dtype", "int8_scale"))
 def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
                    method: str = "sumproduct", alpha: float = 1.0,
-                   beta: float = 0.0,
-                   msg_dtype=jnp.float32) -> SoftBPResult:
+                   beta: float = 0.0, msg_dtype=jnp.float32,
+                   int8_scale: float = 4.0) -> SoftBPResult:
     """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
     (positive favours bit 0; ``AWGN.llr`` output).
 
@@ -197,20 +225,30 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     The syndrome is read off the sign bits of the posterior rows each
     round already gathers, so checking is free; convergence of the
     round-``t`` posterior is observed at the top of round ``t+1``
-    (``iterations`` counts the check-update rounds actually executed —
+    (``iterations`` counts the check-update rounds actually executed --
     at most one more than the round that converged).
 
-    ``msg_dtype`` sets the *message* precision (default f32).
-    ``jnp.bfloat16`` halves the HBM traffic of the routing gathers — the
-    dominant cost on TPU — while the posterior and the check-update
-    arithmetic stay f32 (bf16's 8 mantissa bits match the 6-8 bit
-    quantisation of production min-sum hardware; expect a small BER shift
-    near threshold, none away from it).
+    ``msg_dtype`` sets the message precision: float32, bfloat16 (half the
+    gather traffic, f32 check-update math), or int8 -- the quantised
+    production min-sum (``method`` must be "minsum"; ``int8_scale`` LSBs
+    per LLR unit, int16 accumulation, posterior returned de-quantised).
     """
     llr = jnp.asarray(llr, jnp.float32)
+    quantised = jnp.dtype(msg_dtype) == jnp.int8
+    if quantised and method != "minsum":
+        raise ValueError("int8 messages require method='minsum'")
+    if quantised and (alpha != 1.0 or beta != 0.0):
+        raise ValueError("int8 min-sum: saturation replaces alpha/beta "
+                         "corrections")
     to_var_idx = _soft_routing(code)
-    mcv0 = tuple(jnp.zeros((code.m, llr.shape[1]), msg_dtype)
-                 for _ in range(code.dc))
+    if quantised:
+        acc_dtype = jnp.int16
+        llr0 = jnp.clip(jnp.round(llr * int8_scale), -_INT8_MAX,
+                        _INT8_MAX).astype(jnp.int8)
+    else:
+        acc_dtype = jnp.float32
+        llr0 = llr
+    mcv0 = jnp.zeros((code.dc * code.m, llr.shape[1]), msg_dtype)
     count0 = jnp.sum(llr < 0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
@@ -221,26 +259,26 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     def body(carry):
         mcv, errors, it, _ = carry
         mcv, post_prev, sat_prev = _soft_iteration(
-            code, llr, mcv, to_var_idx, method, alpha, beta)
+            code, llr0, mcv, to_var_idx, method, alpha, beta, acc_dtype,
+            quantised)
         # post_prev / sat_prev describe the posterior *entering* this
         # round (after `it` check updates); record its error count.
         errors = errors.at[it].set(
             jnp.sum(post_prev < 0).astype(jnp.int32))
-        return (tuple(mcv), errors, it + 1, jnp.all(sat_prev))
+        return (mcv, errors, it + 1, jnp.all(sat_prev))
 
     mcv, errors, it, _ = jax.lax.while_loop(
         cond, body, (mcv0, errors, jnp.int32(0), jnp.asarray(False)))
 
     # reconstruct the final posterior from the check-resident state
-    mcv_flat = jnp.stack(mcv).reshape(code.dc * code.m, -1)
-    post = llr
-    for p in range(code.dv):
-        post = post + jnp.take(mcv_flat, to_var_idx[p],
-                               axis=0).astype(jnp.float32)
+    post = _posterior(code, llr0, mcv, to_var_idx, acc_dtype)
     hard = post < 0
     final_count = jnp.sum(hard).astype(jnp.int32)
     tail = jnp.arange(max_iters + 1) >= it
     errors = jnp.where(tail, final_count, errors)
-    return SoftBPResult(hard=hard, posterior=post,
+    post_f32 = post.astype(jnp.float32)
+    if quantised:
+        post_f32 = post_f32 / int8_scale
+    return SoftBPResult(hard=hard, posterior=post_f32,
                         satisfied=_syndrome_ok(code, hard),
                         error_totals=errors, iterations=it)

@@ -44,12 +44,20 @@ from .mesh import BATCH_AXIS, make_mesh
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ChunkStats:
-    """Device-side accumulator for one chunk of trials (all int32/int64)."""
+    """Device-side accumulator for one chunk of trials.
+
+    Counters are exact int32; ``bit_errors_sq`` -- the sum of squared
+    per-trial final error counts, feeding the block-level BER variance
+    estimate (utils.stats.ber_ci) -- is f32 (values can exceed int32 and
+    it is a statistical moment, not a counter; f32's ~1e-7 relative error
+    is negligible against Monte Carlo CI widths).
+    """
 
     error_totals: jax.Array   # int32[iterations+1], summed over counted trials
     block_errors: jax.Array   # int32 scalar
     bit_errors: jax.Array     # int32 scalar (final erasures, counted trials)
     excluded: jax.Array       # int32 scalar (expurgation-gated trials)
+    bit_errors_sq: jax.Array  # f32 scalar, sum of per-trial error count^2
 
 
 def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
@@ -61,11 +69,13 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
         # all-zero transmit (the reference's only workload,
         # parallel_simulator.py:222) -> known-mask-only fast path
         res = bp_decode_packed_allzero(code, erased, iterations)
+        per_trial = res.bit_errors
         return ChunkStats(
             error_totals=res.error_totals,
             block_errors=jnp.sum(res.failed).astype(jnp.int32),
-            bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
+            bit_errors=jnp.sum(per_trial).astype(jnp.int32),
             excluded=jnp.int32(0),
+            bit_errors_sq=jnp.sum(jnp.square(per_trial.astype(jnp.float32))),
         )
     # Expurgated ensemble: drop whole trials with <= s final erasures from
     # *all* statistics, while still counting them as trials
@@ -91,6 +101,8 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
         block_errors=jnp.sum(include & (final > 0)).astype(jnp.int32),
         bit_errors=jnp.sum(final * include).astype(jnp.int32),
         excluded=jnp.sum(~include).astype(jnp.int32),
+        bit_errors_sq=jnp.sum(jnp.square((final * include)
+                                         .astype(jnp.float32))),
     )
 
 
@@ -108,6 +120,8 @@ def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),
         bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
         excluded=jnp.int32(0),
+        bit_errors_sq=jnp.sum(jnp.square(res.bit_errors
+                                         .astype(jnp.float32))),
     )
 
 
@@ -133,6 +147,8 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),
         bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
         excluded=jnp.int32(0),
+        bit_errors_sq=jnp.sum(jnp.square(res.bit_errors
+                                         .astype(jnp.float32))),
     )
 
 
@@ -162,6 +178,7 @@ def _ensemble_chunk(key: jax.Array, *, n: int, dv: int, dc: int,
         block_errors=jnp.sum(stats.block_errors),
         bit_errors=jnp.sum(stats.bit_errors),
         excluded=jnp.sum(stats.excluded),
+        bit_errors_sq=jnp.sum(stats.bit_errors_sq),
     )
 
 
@@ -255,7 +272,8 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
                     error_totals=jnp.sum(stats.error_totals, axis=0),
                     block_errors=jnp.sum(stats.block_errors),
                     bit_errors=jnp.sum(stats.bit_errors),
-                    excluded=jnp.sum(stats.excluded))
+                    excluded=jnp.sum(stats.excluded),
+                    bit_errors_sq=jnp.sum(stats.bit_errors_sq))
 
     if mesh is None:
         return jax.jit(local_chunk)
@@ -301,6 +319,7 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     trials = chunk_idx = 0
     error_totals = np.zeros(cfg.iterations + 1, np.int64)
     block_errors = bit_errors = 0
+    bit_errors_sq = 0.0
     opt_block = opt_bit = 0
     stopped_by = "num_tests"
     batch = min(cfg.batch, 512)
@@ -338,7 +357,9 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
                 res = bp_decode_packed(code, erased, tx, cfg.iterations)
                 error_totals += np.asarray(res.error_totals, np.int64)
                 block_errors += int(jnp.sum(res.failed))
-                bit_errors += int(jnp.sum(res.bit_errors))
+                per_trial = np.asarray(res.bit_errors, np.int64)
+                bit_errors += int(per_trial.sum())
+                bit_errors_sq += float((per_trial.astype(float) ** 2).sum())
             else:
                 for i in range(batch):
                     rx = jnp.asarray(np.where(masks[i], 2, 0))
@@ -348,6 +369,7 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
                     error_totals += errs
                     block_errors += int(errs[-1] != 0)
                     bit_errors += int(errs[-1])
+                    bit_errors_sq += float(errs[-1]) ** 2
 
         trials += batch
         chunk_idx += 1
@@ -371,6 +393,7 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
         block_errors=block_errors, bit_errors=bit_errors,
         optimal_block_errors=opt_block, optimal_bit_errors=opt_bit,
         error_counts_per_iteration=error_totals.tolist(),
+        bit_errors_sq=bit_errors_sq if run_bp else None,
         elapsed_seconds=elapsed,
         timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
         stopped_by=stopped_by)
@@ -398,6 +421,7 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     start = time.time()
     trials = chunk_idx = 0
     block_errors = bit_errors = 0
+    bit_errors_sq = 0.0
     stopped_by = "num_tests"
     batch = cfg.batch  # __post_init__ guarantees batch % 32 == 0
     words = batch // 32
@@ -410,7 +434,9 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
                                   (cfg.n, words))
         res = bp_decode_packed_allzero(chunk_code, erased, cfg.n)
         block_errors += int(jnp.sum(res.failed))
-        bit_errors += int(jnp.sum(res.bit_errors))
+        per_trial = np.asarray(res.bit_errors, np.int64)
+        bit_errors += int(per_trial.sum())
+        bit_errors_sq += float((per_trial.astype(float) ** 2).sum())
         trials += batch
         chunk_idx += 1
         if block_errors >= cfg.max_block_errors:
@@ -426,6 +452,7 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
         block_error_rate=block_errors / trials,
         bit_error_rate=bit_errors / (cfg.n * trials),
         block_errors=block_errors, bit_errors=bit_errors,
+        bit_errors_sq=bit_errors_sq,
         elapsed_seconds=elapsed,
         timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
         stopped_by=stopped_by)
@@ -470,6 +497,7 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     chunk_idx = 0
     error_totals = np.zeros(cfg.iterations + 1, np.int64)
     block_errors = bit_errors = excluded = 0
+    bit_errors_sq = 0.0
     stopped_by = "num_tests"
 
     # Resume from a counter snapshot: chunk keys are pure functions of
@@ -485,6 +513,7 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
             block_errors = ck["block_errors"]
             bit_errors = ck["bit_errors"]
             excluded = ck["excluded"]
+            bit_errors_sq = ck.get("bit_errors_sq", 0.0)
 
     def write_checkpoint():
         tmp = cfg.checkpoint_path + ".tmp"
@@ -493,7 +522,8 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                            chunk_idx=chunk_idx,
                            error_totals=error_totals.tolist(),
                            block_errors=block_errors,
-                           bit_errors=bit_errors, excluded=excluded), f)
+                           bit_errors=bit_errors, excluded=excluded,
+                           bit_errors_sq=bit_errors_sq), f)
         os.replace(tmp, cfg.checkpoint_path)
 
     while trials < cfg.num_tests:
@@ -503,6 +533,7 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         block_errors += int(stats.block_errors)
         bit_errors += int(stats.bit_errors)
         excluded += int(stats.excluded)
+        bit_errors_sq += float(stats.bit_errors_sq)
         trials += cfg.batch
         chunk_idx += 1
         if cfg.checkpoint_path and not (multi_process
@@ -531,6 +562,7 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         bit_errors=bit_errors,
         error_counts_per_iteration=error_totals.tolist(),
         excluded_trials=excluded,
+        bit_errors_sq=bit_errors_sq,
         elapsed_seconds=elapsed,
         timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
         stopped_by=stopped_by,

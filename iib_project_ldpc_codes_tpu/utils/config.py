@@ -41,7 +41,9 @@ class SimulationConfig:
     gallager_threshold: Optional[int] = None  # None -> Gallager-A (dv-1)
     minsum_alpha: float = 1.0     # normalised min-sum scale
     minsum_beta: float = 0.0      # offset min-sum correction
-    soft_msg_dtype: str = "float32"  # "float32" | "bfloat16" message planes
+    soft_msg_dtype: str = "float32"  # "float32" | "bfloat16" | "int8"
+                                     # message planes (int8: quantised
+                                     # min-sum, see ops/soft_bp.py)
 
     # Stopping rules (parallel_simulator.py:198)
     num_tests: int = 100_000
@@ -85,9 +87,11 @@ class SimulationConfig:
         if self.decoder not in by_channel[self.channel]:
             raise ValueError(
                 f"decoder {self.decoder!r} not available on {self.channel}")
-        if self.soft_msg_dtype not in ("float32", "bfloat16"):
+        if self.soft_msg_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
                 f"unknown soft_msg_dtype {self.soft_msg_dtype!r}")
+        if self.soft_msg_dtype == "int8" and self.decoder == "sumproduct":
+            raise ValueError("int8 messages require the minsum decoder")
         if self.code_mode not in ("ensemble", "fixed"):
             raise ValueError(f"unknown code_mode {self.code_mode!r}")
         if (self.n * self.dv) % self.dc:

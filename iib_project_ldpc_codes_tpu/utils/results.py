@@ -44,6 +44,9 @@ class SimulationResult:
     optimal_bit_errors: Optional[int] = None
     error_counts_per_iteration: Optional[List[int]] = None
     excluded_trials: int = 0  # expurgation-gated trials
+    # Sum of squared per-trial final error counts (block-level second
+    # moment), feeding the empirical-variance BER CI (utils.stats.ber_ci).
+    bit_errors_sq: Optional[float] = None
     elapsed_seconds: float = 0.0
     timestamp: str = ""
     stopped_by: str = ""  # "num_tests" | "block_errors" | "wall_clock"

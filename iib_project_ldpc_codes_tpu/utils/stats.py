@@ -108,29 +108,76 @@ def compare_fer(result: SimulationResult, expected: float,
                              lo <= expected <= hi)
 
 
+def ber_ci(result: SimulationResult, alpha: float = 0.05
+           ) -> Tuple[float, float]:
+    """Block-level BER confidence interval.
+
+    Bit errors are correlated *within* a block but blocks are iid, so the
+    right unit of observation is the per-block error count e_i: BER_hat =
+    (sum e_i)/(n T) and Var(BER_hat) = Var(e)/(T n^2).  With the recorded
+    second moment (``result.bit_errors_sq`` = sum e_i^2) the empirical
+    block variance gives the exact-asymptotic normal interval -- no
+    worst-case bound.  Degenerate/missing-moment cases fall back to the
+    conservative p*max_frac variance bound.
+    """
+    trials = result.num_trials
+    n = result.config.n
+    p = result.bit_error_rate
+    z = _norm_ppf(1 - alpha / 2)
+    if result.bit_errors_sq is not None and trials > 1:
+        s1 = float(result.bit_errors)
+        var_e = (float(result.bit_errors_sq) - s1 * s1 / trials) \
+            / (trials - 1)
+        var_e = max(var_e, 0.0)
+        half = z * math.sqrt(var_e / trials) / n
+        # never report an interval narrower than the count being +-1:
+        # the normal approximation is meaningless below one error event
+        half = max(half, z / (n * trials) if s1 else 0.0)
+    else:
+        # conservative fallback: per-block fraction variance <= p*max_frac
+        max_frac = max(result.error_rate_per_iteration[0]
+                       if result.error_rate_per_iteration else 1.0, p)
+        half = z * math.sqrt(max(p * max_frac, 1e-300) / trials)
+    return max(0.0, p - half), p + half
+
+
 def compare_ber(result: SimulationResult, expected: float,
                 alpha: float = 0.05, slack: float = 0.0
                 ) -> ComparisonVerdict:
-    """BER comparison treating bit errors as n*trials Bernoulli draws.
+    """Is the simulated BER consistent with an expected value?
 
-    Bit errors within a block are correlated, so the naive interval is
-    too narrow; the effective-sample-size correction uses blocks (the
-    conservative choice): CI computed on block-averaged error fractions.
+    Uses the block-level empirical-variance interval of :func:`ber_ci`
+    (SURVEY.md section 7: "build the CI math into the comparator").
     """
-    trials = result.num_trials
-    # conservative: treat each *block* as one observation of its bit-error
-    # fraction; normal interval on the mean with variance bound p(1-p)
-    p = result.bit_error_rate
-    z = _norm_ppf(1 - alpha / 2)
-    # worst-case per-block variance: a failed block has O(eps n) errors;
-    # bound the per-block fraction variance by p * max_frac
-    max_frac = max(result.error_rate_per_iteration[0]
-                   if result.error_rate_per_iteration else 1.0, p)
-    half = z * math.sqrt(max(p * max_frac, 1e-300) / trials)
-    lo, hi = max(0.0, p - half), p + half
+    lo, hi = ber_ci(result, alpha)
     lo, hi = lo * (1 - slack), hi * (1 + slack)
+    p = result.bit_error_rate
     return ComparisonVerdict("BER", p, (lo, hi), expected,
                              lo <= expected <= hi)
+
+
+def block_bootstrap_ci(per_block_errors, n: int, alpha: float = 0.05,
+                       num_resamples: int = 2000, seed: int = 0
+                       ) -> Tuple[float, float]:
+    """Percentile bootstrap CI for the BER from raw per-block error counts.
+
+    Resamples whole blocks (the iid unit), so within-block correlation is
+    handled exactly; use when per-trial counts are available (e.g. from
+    ops.erasure_bp.bp_decode_packed_traj) and the error distribution is
+    too skewed for the normal interval of :func:`ber_ci`.
+    """
+    import numpy as np
+
+    e = np.asarray(per_block_errors, float)
+    t = len(e)
+    if t == 0:
+        return 0.0, 1.0
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, t, size=(num_resamples, t))
+    means = e[idx].mean(axis=1) / n
+    lo = float(np.quantile(means, alpha / 2))
+    hi = float(np.quantile(means, 1 - alpha / 2))
+    return lo, hi
 
 
 def required_trials_for_fer(fer: float, rel_precision: float = 0.14,

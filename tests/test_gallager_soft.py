@@ -144,6 +144,55 @@ def test_soft_bp_bfloat16_messages(method):
     assert abs(ber16 - ber32) < 0.3 * raw  # and close to the f32 curve
 
 
+def test_soft_bp_int8_quantised_minsum():
+    """int8 min-sum (production quantised decoder): decodes on par with
+    f32 min-sum at working SNR; posterior de-quantised to LLR units."""
+    n = 504
+    code = sample_code(jax.random.key(7), n, 3, 6)
+    ch = AWGN(AWGN.sigma_from_ebn0_db(3.0, 0.5))
+    y = ch.transmit(jax.random.key(8), jnp.zeros((n, 64), jnp.int32))
+    llr = ch.llr(y)
+    r32 = soft_bp_decode(code, llr, 50, method="minsum")
+    r8 = soft_bp_decode(code, llr, 50, method="minsum",
+                        msg_dtype=jnp.int8)
+    assert r8.posterior.dtype == jnp.float32
+    raw = float(jnp.mean(y < 0))
+    ber32 = float(np.asarray(r32.bit_errors).mean()) / n
+    ber8 = float(np.asarray(r8.bit_errors).mean()) / n
+    assert ber8 < raw / 10                  # a real decoder
+    assert ber8 < ber32 + 0.3 * raw        # on par with f32 min-sum
+    # posterior magnitudes come back in LLR units (de-quantised)
+    assert float(jnp.abs(r8.posterior).max()) <= (127 * 4 + 127) / 4.0 + 1
+
+
+def test_soft_bp_int8_requires_minsum():
+    code = sample_code(jax.random.key(7), 48, 3, 6)
+    llr = jnp.ones((48, 32), jnp.float32)
+    with pytest.raises(ValueError):
+        soft_bp_decode(code, llr, 5, method="sumproduct",
+                       msg_dtype=jnp.int8)
+    with pytest.raises(ValueError):
+        soft_bp_decode(code, llr, 5, method="minsum", msg_dtype=jnp.int8,
+                       alpha=0.75)
+
+
+def test_soft_bp_int8_through_mc_engine():
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import (
+        run_simulation)
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="AWGN", channel_param=0.8, n=96, dv=3,
+                           dc=6, decoder="minsum", soft_msg_dtype="int8",
+                           iterations=15, num_tests=128, batch=128,
+                           max_block_errors=10**9, code_mode="fixed")
+    code = sample_code(jax.random.key(5), 96, 3, 6)
+    r = run_simulation(cfg, code=code)
+    assert r.num_trials == 128
+    with pytest.raises(ValueError):
+        SimulationConfig(channel="AWGN", channel_param=0.8,
+                         decoder="sumproduct", soft_msg_dtype="int8")
+
+
 def test_soft_bp_snr_monotone():
     n = 504
     code = sample_code(jax.random.key(9), n, 3, 6)

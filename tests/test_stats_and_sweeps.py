@@ -134,3 +134,124 @@ def test_concentration_study():
     assert rates.max() <= max(3 * rates.min(), rates.min() + 0.02)
     # codes are genuinely different objects
     assert len({r.config.code_number for r in rs}) == 4
+
+
+def _fake_result(per_block_errors, n):
+    """SimulationResult carrying the counters of given per-block counts."""
+    from iib_project_ldpc_codes_tpu.utils.results import SimulationResult
+
+    e = np.asarray(per_block_errors, np.int64)
+    cfg = SimulationConfig(channel="BEC", channel_param=0.4, n=n, dv=3,
+                           dc=6, decoder="bp", num_tests=len(e),
+                           batch=32, max_block_errors=10**9)
+    return SimulationResult(
+        config=cfg, num_trials=len(e),
+        error_rate_per_iteration=[0.4],
+        block_error_rate=float((e > 0).mean()),
+        bit_error_rate=float(e.sum()) / (n * len(e)),
+        block_errors=int((e > 0).sum()), bit_errors=int(e.sum()),
+        bit_errors_sq=float((e.astype(float) ** 2).sum()))
+
+
+def test_ber_ci_coverage_property():
+    """~95% of empirical-variance intervals cover the true BER (synthetic
+    failed-block mixture: fail w.p. q, then Binomial(n, mu) errors)."""
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+
+    n, q, mu = 1024, 0.12, 0.18
+    true_ber = q * mu
+    rng = np.random.default_rng(7)
+    reps, trials = 300, 400
+    hits = 0
+    for _ in range(reps):
+        fails = rng.random(trials) < q
+        e = np.where(fails, rng.binomial(n, mu, size=trials), 0)
+        lo, hi = ber_ci(_fake_result(e, n))
+        hits += lo <= true_ber <= hi
+    assert 0.88 <= hits / reps <= 0.99
+
+
+def test_ber_ci_tighter_than_worst_case_bound():
+    """The empirical-variance interval beats the old p*max_frac bound."""
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci, _norm_ppf
+
+    n = 1024
+    rng = np.random.default_rng(3)
+    e = np.where(rng.random(2000) < 0.1, rng.binomial(n, 0.15, 2000), 0)
+    res = _fake_result(e, n)
+    lo, hi = ber_ci(res)
+    p = res.bit_error_rate
+    z = _norm_ppf(0.975)
+    worst_half = z * math.sqrt(p * 0.4 / res.num_trials)
+    assert (hi - lo) / 2 < worst_half
+    assert lo < p < hi
+
+
+def test_ber_ci_fallback_without_moment():
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+
+    res = _fake_result([0, 10, 0, 5] * 50, 96)
+    res.bit_errors_sq = None
+    lo, hi = ber_ci(res)
+    assert 0 <= lo < res.bit_error_rate < hi
+
+
+def test_block_bootstrap_matches_normal_interval():
+    """Bootstrap and empirical-variance intervals agree on large samples."""
+    from iib_project_ldpc_codes_tpu.utils.stats import (block_bootstrap_ci,
+                                                        ber_ci)
+
+    n = 512
+    rng = np.random.default_rng(11)
+    e = np.where(rng.random(4000) < 0.2, rng.binomial(n, 0.2, 4000), 0)
+    blo, bhi = block_bootstrap_ci(e, n, seed=1)
+    nlo, nhi = ber_ci(_fake_result(e, n))
+    assert abs(blo - nlo) < 0.15 * (nhi - nlo)
+    assert abs(bhi - nhi) < 0.15 * (nhi - nlo)
+
+
+def test_bit_errors_sq_recorded_by_engine():
+    """The engine's recorded second moment equals the sum of squared
+    per-trial final counts (cross-checked via the trajectory kernel)."""
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        bp_decode_packed_traj)
+    import jax.numpy as jnp
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.45, n=96, dv=3,
+                           dc=6, decoder="bp", iterations=20, num_tests=256,
+                           batch=256, max_block_errors=10**9, seed=3,
+                           code_mode="fixed")
+    code = sample_code(jax.random.key(2), cfg.n, cfg.dv, cfg.dc)
+    res = run_simulation(cfg, code=code)
+    key = jax.random.key(cfg.seed)
+    want = 0.0
+    for c in range(256 // cfg.batch or 1):
+        erased = bernoulli_packed(jax.random.fold_in(key, c), 0.45,
+                                  (cfg.n, cfg.batch // 32))
+        _, traj = bp_decode_packed_traj(code, erased,
+                                        jnp.zeros_like(erased), 20)
+        want += float((np.asarray(traj)[-1].astype(float) ** 2).sum())
+    assert res.bit_errors_sq == pytest.approx(want, rel=1e-6)
+
+
+def test_compare_ber_verdict_on_simulation():
+    """compare_ber accepts a simulation against its own rerun's BER."""
+    from iib_project_ldpc_codes_tpu.utils.stats import compare_ber
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.42, n=96, dv=3,
+                           dc=6, decoder="bp", iterations=30,
+                           num_tests=4096, batch=512,
+                           max_block_errors=10**9, seed=5,
+                           code_mode="fixed")
+    code = sample_code(jax.random.key(4), cfg.n, cfg.dv, cfg.dc)
+    r1 = run_simulation(cfg, code=code)
+    # reference value from a 4x larger independent run (its own noise is
+    # then small against r1's CI width)
+    cfg2 = SimulationConfig(**{**cfg.__dict__, "seed": 99,
+                               "num_tests": 16384})
+    r2 = run_simulation(cfg2, code=code)
+    v = compare_ber(r1, r2.bit_error_rate)
+    assert v.consistent, str(v)
+    # and a clearly-wrong expectation is rejected
+    assert not compare_ber(r1, 2.0 * r1.bit_error_rate + 0.01).consistent
