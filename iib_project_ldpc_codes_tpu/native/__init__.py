@@ -1,14 +1,20 @@
 """Native (C) host-side kernels, loaded via ctypes.
 
-The one genuinely hot host-side loop in the framework is GF(2) row
-reduction for the ML decoder (the reference used the ``galois`` package
-and three ad-hoc ``.so``s via ctypes; SURVEY.md native-component summary).
-The TPU compute path needs no native code -- JAX/XLA/Pallas covers it --
-so this package only ships the elimination kernel.
+The genuinely host-bound loops in the framework live here (the reference
+used the ``galois`` package and three ad-hoc ``.so``s via ctypes;
+SURVEY.md native-component summary).  The TPU compute path needs no
+native code -- JAX/XLA covers it -- so this library ships only:
+
+  * gf2.c: bit-packed GF(2) Gauss-Jordan / rank, and the batched ML
+    (optimal) decoder built on them -- inherently pivot-sequential;
+  * peeling.c: the sequential R-process peeling decoder (one random
+    degree-1 peel at a time) with O(E) incremental degree tracking and
+    residual-degree-histogram sampling -- inherently sequential per
+    trial.
 
 Build: ``python -m iib_project_ldpc_codes_tpu.native.build`` (or import;
 it auto-builds with the system C compiler on first use).  All callers fall
-back to the pure-numpy implementation when the library is unavailable.
+back to a pure-numpy implementation when the library is unavailable.
 """
 
 from __future__ import annotations
@@ -65,6 +71,11 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.ml_decode_trials.restype = ctypes.c_int
+        lib.ml_decode_trials.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
         lib.peel_decode_trials_hist.restype = ctypes.c_int
         lib.peel_decode_trials_hist.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -200,3 +211,39 @@ def peel_decode_trials_hist_native(chk_to_var: np.ndarray,
     if rc != 0:
         return None
     return hist, unresolved.astype(bool), erasures
+
+
+def ml_decode_trials_native(chk_to_var: np.ndarray, n: int, rx: np.ndarray
+                            ) -> Optional[np.ndarray]:
+    """Batched ML BEC decode (native) from the edge-list code form.
+
+    ``chk_to_var``: int32 [m, dc] (fixed code) or [trials, m, dc]
+    (per-trial codes); ``rx``: uint8 [trials, n] in the {0,1,2} wire
+    format.  Returns decoded uint8 [trials, n] ({0,1,2}, 2 =
+    undetermined) or None if the library is unavailable.  Bit-exact vs
+    ops.ml.ml_decode (dense-boolean-H semantics, duplicate edges count
+    once).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    rx = np.ascontiguousarray(rx, np.uint8)
+    trials, rn = rx.shape
+    if rn != n:
+        return None
+    chk = np.ascontiguousarray(chk_to_var, np.int32)
+    if chk.ndim == 2:
+        c_count, (m, dc) = 1, chk.shape
+    else:
+        c_count, m, dc = chk.shape
+        if c_count != trials:
+            return None
+    out = np.zeros((trials, n), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.ml_decode_trials(
+        chk.ctypes.data_as(i32p), c_count, m, dc, n,
+        rx.ctypes.data_as(u8p), trials, out.ctypes.data_as(u8p))
+    if rc != 0:
+        return None
+    return out

@@ -87,19 +87,24 @@ def ml_decode(code: LDPCCode, channel_output: np.ndarray,
     erasures than parity checks -> return the input unchanged
     (parallel_simulator.py:66-69).
     """
+    if h is None:
+        h = dense_parity_check(code)
+    return _ml_decode_dense(np.asarray(h, bool), channel_output)
+
+
+def _ml_decode_dense(h: np.ndarray, channel_output: np.ndarray
+                     ) -> np.ndarray:
+    """The elimination core of :func:`ml_decode` on a dense boolean H."""
     rx = np.asarray(channel_output, int)
     erased = rx == ERASURE
     e = int(erased.sum())
-    if e == 0 or e > code.m:
+    if e == 0 or e > h.shape[0]:
         return rx.copy()
-    if h is None:
-        h = dense_parity_check(code)
-    h = np.asarray(h, bool)
 
-    # Syndrome of the known bits (ml_decoder.c:19-23)
-    known_cols = h[:, ~erased]
-    known_bits = rx[~erased].astype(bool)
-    syndrome = (known_cols @ known_bits) % 2
+    # Syndrome of the known bits (ml_decoder.c:19-23).  NB: matmul must be
+    # over integers -- numpy bool @ bool is OR-accumulation, not GF(2) sum.
+    syndrome = (h[:, ~erased].astype(np.int64)
+                @ rx[~erased].astype(np.int64)) % 2
 
     sub = h[:, erased]                       # [m, e]
     aug = np.concatenate([sub, syndrome[:, None].astype(bool)], axis=1)
@@ -128,8 +133,38 @@ def ml_decode(code: LDPCCode, channel_output: np.ndarray,
 
 def ml_decode_batch(code: LDPCCode, channel_outputs: np.ndarray
                     ) -> np.ndarray:
+    """Batch of {0,1,2} words -> batched ML decode (one native call)."""
+    from ..native import ml_decode_trials_native
+
+    rx = np.asarray(channel_outputs, np.uint8)
+    native = ml_decode_trials_native(np.asarray(code.chk_to_var), code.n, rx)
+    if native is not None:
+        return native.astype(int)
     h = dense_parity_check(code)
-    return np.stack([ml_decode(code, rx, h) for rx in channel_outputs])
+    return np.stack([ml_decode(code, r, h) for r in channel_outputs])
+
+
+def ml_decode_batch_ensemble(chk_to_var: np.ndarray, n: int,
+                             channel_outputs: np.ndarray) -> np.ndarray:
+    """Per-trial codes: ``chk_to_var`` int32[trials, m, dc], one native call.
+
+    Falls back to a per-trial Python path (building each dense H on the
+    fly) when the native library is unavailable.
+    """
+    from ..native import ml_decode_trials_native
+
+    chk = np.asarray(chk_to_var)
+    rx = np.asarray(channel_outputs, np.uint8)
+    native = ml_decode_trials_native(chk, n, rx)
+    if native is not None:
+        return native.astype(int)
+    trials, m, dc = chk.shape
+    out = []
+    for t in range(trials):
+        h = np.zeros((m, n), bool)
+        h[np.arange(m)[:, None], chk[t]] = True
+        out.append(_ml_decode_dense(h, rx[t]))
+    return np.stack(out)
 
 
 def ml_block_success(code: LDPCCode, erasure_mask: np.ndarray,

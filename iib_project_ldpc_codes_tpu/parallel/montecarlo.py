@@ -304,16 +304,19 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     BP on the *same* channel outputs (reference modes 1/2/4/5,
     parallel_simulator.py:233-242: both decoders see one transmission).
 
-    ML is the small-n optimality oracle (O(n^3) per trial); trials run in
-    modest device batches for the channel + BP and per-trial on host for
-    the GF(2) elimination.
+    ML is the small-n optimality oracle (O(n^3) per trial); the channel +
+    BP side runs in device batches and the GF(2) eliminations go through
+    ONE native C call per chunk (native/gf2.c ml_decode_trials) -- the
+    batched replacement for the reference's per-trial galois loop
+    (parallel_simulator.py:60-129).
     """
-    from ..models.ensemble import sample_code as _sample_code
+    from ..models.ensemble import sample_codes
     from ..ops.bitops import pack_bits
-    from ..ops.ml import ml_decode
-    from ..models.code import dense_parity_check
+    from ..ops.erasure_bp import bp_decode
+    from ..ops.ml import ml_decode_batch, ml_decode_batch_ensemble
 
     run_bp = cfg.decoder == "both"
+    ensemble = cfg.code_mode != "fixed"
     key = jax.random.key(cfg.seed)
     start = time.time()
     trials = chunk_idx = 0
@@ -325,33 +328,33 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     batch = min(cfg.batch, 512)
     batch -= batch % 32
 
-    fixed_h = dense_parity_check(code) if (code is not None
-                                           and cfg.code_mode == "fixed") else None
+    if run_bp and ensemble:
+        # per-trial fresh codes: vmap the naive decoder over the stacked
+        # code pytree (one dispatch per chunk instead of `batch`)
+        bp_errs_vmapped = jax.jit(jax.vmap(
+            lambda c, rx: bp_decode(c, rx, cfg.iterations)[1]))
 
     while trials < cfg.num_tests:
         ck = jax.random.fold_in(key, chunk_idx)
         k_code, k_noise = jax.random.split(ck)
         masks = np.asarray(jax.random.uniform(k_noise, (batch, cfg.n))
                            < cfg.channel_param)
-        if cfg.code_mode == "fixed":
-            codes = [code] * batch
-            hs = [fixed_h] * batch
-        else:
-            codes = [_sample_code(jax.random.fold_in(k_code, i), cfg.n,
-                                  cfg.dv, cfg.dc, cfg.sampler)
-                     for i in range(batch)]
-            hs = [dense_parity_check(c) for c in codes]
+        rx = np.where(masks, 2, 0).astype(np.uint8)        # [batch, n]
 
-        for i in range(batch):
-            rx = np.where(masks[i], 2, 0)
-            dec = ml_decode(codes[i], rx, hs[i])
-            e = int((dec == 2).sum())
-            if e > 0:
-                opt_block += 1
-            opt_bit += e
+        if ensemble:
+            codes = sample_codes(k_code, batch, cfg.n, cfg.dv, cfg.dc,
+                                 cfg.sampler)               # batched pytree
+            dec = ml_decode_batch_ensemble(np.asarray(codes.chk_to_var),
+                                           cfg.n, rx)
+        else:
+            dec = ml_decode_batch(code, rx)
+
+        undet = (dec == 2).sum(axis=1)
+        opt_block += int((undet > 0).sum())
+        opt_bit += int(undet.sum())
 
         if run_bp:
-            if cfg.code_mode == "fixed":
+            if not ensemble:
                 erased = pack_bits(jnp.asarray(masks.T))
                 tx = jnp.zeros_like(erased)
                 res = bp_decode_packed(code, erased, tx, cfg.iterations)
@@ -361,15 +364,15 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
                 bit_errors += int(per_trial.sum())
                 bit_errors_sq += float((per_trial.astype(float) ** 2).sum())
             else:
-                for i in range(batch):
-                    rx = jnp.asarray(np.where(masks[i], 2, 0))
-                    from ..ops.erasure_bp import bp_decode
-                    _, errs, _ = bp_decode(codes[i], rx, cfg.iterations)
-                    errs = np.asarray(errs)
-                    error_totals += errs
-                    block_errors += int(errs[-1] != 0)
-                    bit_errors += int(errs[-1])
-                    bit_errors_sq += float(errs[-1]) ** 2
+                # same codes AND same channel outputs as the ML side
+                # (reference mode-2 semantics, parallel_simulator.py:233)
+                errs = np.asarray(bp_errs_vmapped(
+                    codes, jnp.asarray(rx, jnp.int32)), np.int64)
+                error_totals += errs.sum(axis=0)
+                finals = errs[:, -1]
+                block_errors += int((finals != 0).sum())
+                bit_errors += int(finals.sum())
+                bit_errors_sq += float((finals.astype(float) ** 2).sum())
 
         trials += batch
         chunk_idx += 1

@@ -54,6 +54,31 @@ def test_ml_matches_brute_force(seed):
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_ml_matches_brute_force_nonzero_codeword(seed):
+    """Oracle check with a NONZERO transmitted word (nonzero syndrome).
+
+    Regression guard: numpy bool@bool is OR-accumulation, which silently
+    corrupted the known-bit syndrome whenever two known 1-bits hit the
+    same check -- invisible under all-zero-codeword tests.
+    """
+    from iib_project_ldpc_codes_tpu.models.encode import make_encoder
+
+    n = 24
+    code = sample_code(jax.random.key(seed), n, 3, 6)
+    h = dense_parity_check(code)
+    enc = make_encoder(code)
+    rng = np.random.default_rng(50 + seed)
+    w = enc.encode((rng.random(enc.k_eff) < 0.5).astype(int))
+    rx = np.where(rng.random(n) < 0.45, ERASURE, w)
+    if (rx == ERASURE).sum() > code.m:  # stay below the e > m bail-out
+        rerase = np.nonzero(rx == ERASURE)[0][code.m:]
+        rx[rerase] = w[rerase]
+    want = brute_force_marginals(h, rx)
+    got = ml_decode(code, rx)
+    assert (got == want).all()
+
+
 def test_trivial_cases():
     n = 24
     code = sample_code(jax.random.key(1), n, 3, 6)
@@ -173,3 +198,85 @@ def test_native_rank(rng):
     finally:
         native_mod._lib = saved_lib
     assert gf2_rank_native(_pack_rows(a).copy(), 50) == len(piv)
+
+
+def test_ml_decode_batch_native_bit_exact():
+    """Batched native ML == per-trial ml_decode, bit for bit (fixed code)."""
+    import jax
+    import numpy as np
+
+    from iib_project_ldpc_codes_tpu.models import (dense_parity_check,
+                                                   sample_code)
+    from iib_project_ldpc_codes_tpu.ops.ml import ml_decode, ml_decode_batch
+
+    n = 96
+    code = sample_code(jax.random.key(8), n, 3, 6)
+    h = dense_parity_check(code)
+    rng = np.random.default_rng(0)
+    # include edge cases: no erasures, all erased (> m), near-threshold
+    rx = np.where(rng.random((64, n)) < 0.44, 2, 0)
+    rx[0, :] = 0
+    rx[1, :] = 2
+    got = ml_decode_batch(code, rx)
+    want = np.stack([ml_decode(code, r, h) for r in rx])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ml_decode_batch_ensemble_bit_exact():
+    """Per-trial-codes batched ML == per-trial ml_decode (native AND
+    pure-python fallback)."""
+    import jax
+    import numpy as np
+
+    from iib_project_ldpc_codes_tpu.models import dense_parity_check
+    from iib_project_ldpc_codes_tpu.models.code import LDPCCode
+    from iib_project_ldpc_codes_tpu.models.ensemble import sample_codes
+    from iib_project_ldpc_codes_tpu import native as native_mod
+    from iib_project_ldpc_codes_tpu.ops.ml import (ml_decode,
+                                                   ml_decode_batch_ensemble)
+
+    n, B = 60, 16
+    codes = sample_codes(jax.random.key(9), B, n, 3, 6)
+    per = [LDPCCode(chk_to_var=codes.chk_to_var[i],
+                    var_to_edge=codes.var_to_edge[i], n=n, dv=3, dc=6)
+           for i in range(B)]
+    hs = np.stack([dense_parity_check(c) for c in per])
+    rng = np.random.default_rng(1)
+    rx = np.where(rng.random((B, n)) < 0.42, 2, 0)
+    chk = np.asarray(codes.chk_to_var)
+    want = np.stack([ml_decode(c, r, h) for c, r, h in zip(per, rx, hs)])
+    got = ml_decode_batch_ensemble(chk, n, rx)
+    np.testing.assert_array_equal(got, want)
+    # force the pure-python fallback path
+    saved_lib, saved_tried = native_mod._lib, native_mod._tried
+    native_mod._lib, native_mod._tried = None, True
+    try:
+        fallback = ml_decode_batch_ensemble(chk, n, rx)
+    finally:
+        native_mod._lib, native_mod._tried = saved_lib, saved_tried
+    np.testing.assert_array_equal(fallback, want)
+
+
+def test_ml_decode_batch_nonzero_codeword_native():
+    """Native syndrome path on nonzero known bits (rx contains 1s)."""
+    import jax
+    import numpy as np
+
+    from iib_project_ldpc_codes_tpu.models import (dense_parity_check,
+                                                   sample_code)
+    from iib_project_ldpc_codes_tpu.models.encode import make_encoder
+    from iib_project_ldpc_codes_tpu.ops.ml import ml_decode, ml_decode_batch
+
+    n = 96
+    code = sample_code(jax.random.key(10), n, 3, 6)
+    h = dense_parity_check(code)
+    enc = make_encoder(code)
+    rng = np.random.default_rng(2)
+    rxs = []
+    for _ in range(16):
+        w = enc.encode((rng.random(enc.k_eff) < 0.5).astype(int))
+        rxs.append(np.where(rng.random(n) < 0.35, 2, w))
+    rx = np.stack(rxs)
+    got = ml_decode_batch(code, rx)
+    want = np.stack([ml_decode(code, r, h) for r in rx])
+    np.testing.assert_array_equal(got, want)
