@@ -20,9 +20,13 @@ check->variable messages, [dc*m, B] in the working dtype (rows j*m..j*m+m
 
 v5e measurements (n=8192, 50 iterations; see docs/VALIDATION.md): the flat
 carry is ~1.2x the earlier stacked-planes form (the per-round
-stack/reshape copy is gone -- slices of the flat array are free), and the
-round is gather-bandwidth-bound, so throughput tracks message byte width:
-f32 0.056 -> bf16 ~0.12 -> int8 ~0.17 Ginfobit/s.
+stack/reshape copy is gone -- slices of the flat array are free).
+Throughput tracks message byte width (f32 0.056 -> bf16 ~0.12 -> int8
+0.15-0.17 Ginfobit/s at the B=2048 optimum) and the int8 round is at its
+measured roof: the gather/bandwidth skeleton runs at the chip's
+gather rate (= contiguous-stream rate) and the remaining ~0.45 ms/round
+is irreducible extrinsic-min-sum VPU math (32-bit lanes: int8 ops are
+NOT faster -- measured).  Decomposition: examples/probe_soft_roof.py.
 
 Working dtypes (``msg_dtype``):
   * float32 -- exact reference arithmetic;
