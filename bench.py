@@ -25,7 +25,7 @@ def main(argv=None):
     spread = 1
     for a in argv:
         if a.startswith("--spread="):
-            spread = int(a.split("=", 1)[1])
+            spread = max(1, int(a.split("=", 1)[1]))
 
     import jax
 

@@ -40,20 +40,26 @@ def _apply_platform(flag: str | None, n_devices: int | None):
         # than silently falling back to CPU.  Read the factory registry
         # (not jax.devices()) so no backend gets initialised before the
         # platform pin takes effect.
-        from jax._src import xla_bridge
-
-        registered = set(getattr(xla_bridge, "_backend_factories", {}))
-        # Prefer a remote-TPU tunnel plugin when one is registered: on
-        # such machines the "tpu" factory exists but has no local chip
-        # and fails to initialise; on a real TPU host only "tpu" is
-        # registered.
-        for name in ("axon", "tpu"):
-            if name in registered:
-                jax.config.update("jax_platforms", name)
-                return
-        raise RuntimeError(
-            "--platform=tpu requested but no TPU backend is registered "
-            f"(available: {sorted(registered)})")
+        try:
+            from jax._src import xla_bridge
+            registered = set(getattr(xla_bridge, "_backend_factories", {}))
+        except ImportError:
+            registered = set()
+        if registered:
+            # Prefer a remote-TPU tunnel plugin when one is registered:
+            # on such machines the "tpu" factory exists but has no local
+            # chip and fails to initialise; on a real TPU host only
+            # "tpu" is registered.
+            for name in ("axon", "tpu"):
+                if name in registered:
+                    jax.config.update("jax_platforms", name)
+                    return
+            raise RuntimeError(
+                "--platform=tpu requested but no TPU backend is registered "
+                f"(available: {sorted(registered)})")
+        # Private registry unavailable (internal jax API moved): pin
+        # "tpu" directly and let backend init report the real error.
+        jax.config.update("jax_platforms", "tpu")
     elif flag not in (None, True):
         jax.config.update("jax_platforms", str(flag))
 

@@ -505,18 +505,35 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
 
     # Resume from a counter snapshot: chunk keys are pure functions of
     # (seed, chunk_idx), so a resumed run is bit-identical to an
-    # uninterrupted one.
-    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
-        with open(cfg.checkpoint_path) as f:
-            ck = json.load(f)
-        if ck["seed"] == cfg.seed and ck["batch"] == cfg.batch:
-            trials = ck["trials"]
-            chunk_idx = ck["chunk_idx"]
-            error_totals = np.asarray(ck["error_totals"], np.int64)
-            block_errors = ck["block_errors"]
-            bit_errors = ck["bit_errors"]
-            excluded = ck["excluded"]
-            bit_errors_sq = ck.get("bit_errors_sq", 0.0)
+    # uninterrupted one.  Multi-host: only process 0 writes checkpoints,
+    # so only process 0's view of the file is authoritative (it may live
+    # on host-local disk) -- its resume state is broadcast so every
+    # process starts at the same chunk_idx; a divergent start would
+    # strand the others in the chunk collective.
+    if cfg.checkpoint_path:
+        if (not multi_process or jax.process_index() == 0) and \
+                os.path.exists(cfg.checkpoint_path):
+            with open(cfg.checkpoint_path) as f:
+                ck = json.load(f)
+            if ck["seed"] == cfg.seed and ck["batch"] == cfg.batch:
+                trials = ck["trials"]
+                chunk_idx = ck["chunk_idx"]
+                error_totals = np.asarray(ck["error_totals"], np.int64)
+                block_errors = ck["block_errors"]
+                bit_errors = ck["bit_errors"]
+                excluded = ck["excluded"]
+                bit_errors_sq = ck.get("bit_errors_sq", 0.0)
+        if multi_process:
+            from jax.experimental import multihost_utils
+
+            state = multihost_utils.broadcast_one_to_all((
+                np.asarray([trials, chunk_idx, block_errors, bit_errors,
+                            excluded], np.int64),
+                error_totals, np.asarray(bit_errors_sq, np.float64)))
+            (trials, chunk_idx, block_errors,
+             bit_errors, excluded) = (int(x) for x in state[0])
+            error_totals = np.asarray(state[1], np.int64)
+            bit_errors_sq = float(state[2])
 
     def write_checkpoint():
         tmp = cfg.checkpoint_path + ".tmp"

@@ -75,6 +75,10 @@ def main(argv=None) -> int:
         cfg = SimulationConfig.from_reference_argv(positional)
     if "output-dir" in flags:
         cfg.output_dir = flags["output-dir"]
+    if "checkpoint-path" in flags:
+        # per-process override: checkpoint files live on host-local disk;
+        # process 0's is authoritative (montecarlo.py broadcasts it)
+        cfg.checkpoint_path = flags["checkpoint-path"]
 
     code = None
     if cfg.code_mode == "fixed" or cfg.decoder == "peeling":

@@ -92,6 +92,12 @@ class SimulationConfig:
                 f"unknown soft_msg_dtype {self.soft_msg_dtype!r}")
         if self.soft_msg_dtype == "int8" and self.decoder == "sumproduct":
             raise ValueError("int8 messages require the minsum decoder")
+        if self.soft_msg_dtype == "int8" and (self.minsum_alpha != 1.0
+                                              or self.minsum_beta != 0.0):
+            # fail at config time, not inside the jitted kernel
+            # (ops/soft_bp.py rejects the same combination at trace time)
+            raise ValueError("int8 min-sum: saturation replaces alpha/beta "
+                             "corrections")
         if self.code_mode not in ("ensemble", "fixed"):
             raise ValueError(f"unknown code_mode {self.code_mode!r}")
         if (self.n * self.dv) % self.dc:

@@ -188,10 +188,9 @@ def _peel_hist_python(chk_to_var, var_to_chk, erased_row, sample_u, rng):
         si += 1
     ones = list(np.nonzero(deg == 1)[0])
     while ones:
+        # `ones` is re-filtered to deg==1 at the end of every step, so
+        # every entry here is live
         c = ones[rng.integers(len(ones))]
-        if deg[c] != 1:       # stale entry: lazy deletion
-            ones.remove(c)
-            continue
         row = chk_to_var[c]
         v = row[un[row]][0]
         un[v] = False
@@ -363,12 +362,21 @@ def export_bp_decoding_paths(paths: BPDecodingPaths, directory: str) -> str:
         directory,
         f"bp_decoding_paths_eps={paths.erasure_prob}_n={paths.n}"
         f"_dv={paths.dv}_dc={paths.dc}.json")
+    def clean(x):
+        # NaN (e.g. mean_path_failed with zero failures) -> null: keep
+        # the file strict RFC-8259 JSON
+        if isinstance(x, list):
+            return [clean(e) for e in x]
+        if isinstance(x, float) and not math.isfinite(x):
+            return None
+        return x
+
     doc = dataclasses.asdict(paths)
     for k, v in doc.items():
         if isinstance(v, np.ndarray):
-            doc[k] = v.tolist()
+            doc[k] = clean(v.tolist())
     with open(path, "w") as f:
-        json.dump(doc, f)
+        json.dump(doc, f, allow_nan=False)
     return path
 
 

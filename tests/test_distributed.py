@@ -96,6 +96,58 @@ def test_primary_only_writer(two_process_outputs):
     assert len(files) == 1  # exactly one result written
 
 
+def test_checkpoint_resume_broadcast(tmp_path):
+    """Host-local checkpoints must not desynchronise a resumed job.
+
+    Process 0 has a checkpoint (recording the whole run as already done);
+    process 1's checkpoint path does not exist.  Process 0's state is
+    broadcast (montecarlo.py), so BOTH processes must skip the loop and
+    agree; without the broadcast process 1 would enter the psum'd chunk
+    that process 0 never joins and the job would hang until the timeout.
+    """
+    iterations, batch = int(ARGV[2]), 1024
+    # NB mode 3 argv[7] is the code_number; cfg.seed stays at its default
+    ck = dict(seed=0, batch=batch, trials=batch, chunk_idx=1,
+              error_totals=[0] * (iterations + 1), block_errors=0,
+              bit_errors=0, excluded=0, bit_errors_sq=0.0)
+    ck_path0 = tmp_path / "ck0.json"
+    ck_path0.write_text(json.dumps(ck))
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        ck_path = str(ck_path0) if pid == 0 else str(tmp_path / "absent.json")
+        cmd = [sys.executable, "-m",
+               "iib_project_ldpc_codes_tpu.parallel.multihost",
+               f"--coordinator=127.0.0.1:{port}", "--num-processes=2",
+               f"--process-id={pid}", "--platform=cpu", "--cpu-devices=1",
+               f"--output-dir={outdir}",
+               f"--checkpoint-path={ck_path}"] + ARGV
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    by_pid = {o["process_index"]: o for o in outs}
+    # both resumed at trials=batch >= num_tests: no chunks run anywhere
+    for o in outs:
+        assert o["num_trials"] == batch
+        assert o["block_errors"] == 0
+        assert o["stopped_by"] == "num_tests"
+    assert by_pid[0]["num_trials"] == by_pid[1]["num_trials"]
+
+
 def test_matches_single_process_mesh_exactly(two_process_outputs):
     """Cross-process psum == in-process 2-virtual-device mesh, exactly."""
     outs, _ = two_process_outputs

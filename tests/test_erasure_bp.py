@@ -275,6 +275,27 @@ def test_bp_decoding_paths_experiment(tmp_path):
     assert len(doc["trajectories"]) == 64
 
 
+def test_bp_decoding_paths_export_strict_json_all_success(tmp_path):
+    """All trials succeeding -> mean_path_failed is NaN -> the export must
+    still be strict RFC-8259 JSON (NaN -> null), parseable with
+    parse_constant forbidden."""
+    import json
+
+    from iib_project_ldpc_codes_tpu.utils.experiments import (
+        bp_decoding_paths, export_bp_decoding_paths)
+
+    paths = bp_decoding_paths(96, 3, 6, 0.10, iterations=30, trials=64,
+                              seed=3)
+    assert not paths.failed.any()          # far below threshold
+    out = export_bp_decoding_paths(paths, str(tmp_path))
+
+    def reject(_):
+        raise AssertionError("non-RFC8259 constant in exported JSON")
+
+    doc = json.loads(open(out).read(), parse_constant=reject)
+    assert all(v is None for v in doc["mean_path_failed"])
+
+
 def test_packed_nonzero_codewords_match_naive():
     """Value-plane adoption on real (nonzero) codewords: every lane of the
     packed decode equals the naive {0,1,2} decode bit-for-bit."""

@@ -191,6 +191,16 @@ def test_soft_bp_int8_through_mc_engine():
     with pytest.raises(ValueError):
         SimulationConfig(channel="AWGN", channel_param=0.8,
                          decoder="sumproduct", soft_msg_dtype="int8")
+    # alpha/beta corrections must be rejected at config time, not at
+    # trace time inside the jitted chunk
+    with pytest.raises(ValueError):
+        SimulationConfig(channel="AWGN", channel_param=0.8,
+                         decoder="minsum", soft_msg_dtype="int8",
+                         minsum_alpha=0.75)
+    with pytest.raises(ValueError):
+        SimulationConfig(channel="AWGN", channel_param=0.8,
+                         decoder="minsum", soft_msg_dtype="int8",
+                         minsum_beta=0.5)
 
 
 def test_soft_bp_snr_monotone():
