@@ -336,3 +336,113 @@ def degree_distribution_at_time(erasure_prob: float, time: float, dv: int = 3,
     c = (1.0 / dv) * b + ((dv - 1) / dv) * a
     init = initial_degree_distribution(erasure_prob, dc)
     return _expm(-c * math.log((1.0 - time) / erasure_prob)) @ init
+
+
+# ---------------------------------------------------------------------------
+# Irregular ensembles (capability extension -- the reference is regular-only;
+# same DE machinery generalised to edge-perspective degree distributions
+# lambda(x), rho(x), after Luby et al. / Richardson-Urbanke)
+# ---------------------------------------------------------------------------
+
+def _poly_check(coeffs, name: str) -> np.ndarray:
+    c = np.asarray(coeffs, float)
+    if c.ndim != 1 or c.size < 2 or c[0] != 0.0:
+        raise ValueError(
+            f"{name} must be 1-D polynomial coefficients [c0, c1, ...] with "
+            "c0 == 0 (no degree-1 edge mass) and degree >= 1")
+    if (c < 0).any() or not math.isclose(float(c.sum()), 1.0, abs_tol=1e-9):
+        raise ValueError(f"{name} coefficients must be >= 0 and sum to 1")
+    return c
+
+
+def _poly_val(c: np.ndarray, x: float) -> float:
+    return float(np.polyval(c[::-1], x))
+
+
+def design_rate(lam, rho) -> float:
+    """1 - (int rho)/(int lambda): the design rate of the (lambda, rho)
+    ensemble.  Coefficient convention: ``lam[i]`` multiplies x**i, i.e.
+    lam[i] is the fraction of edges attached to degree-(i+1) variables."""
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    ints = lambda c: float(sum(ci / (i + 1) for i, ci in enumerate(c)))
+    return 1.0 - ints(rho) / ints(lam)
+
+
+def regular_lam_rho(dv: int, dc: int):
+    """The degenerate (lambda, rho) of the (dv,dc)-regular ensemble."""
+    lam = np.zeros(dv)
+    lam[dv - 1] = 1.0
+    rho = np.zeros(dc)
+    rho[dc - 1] = 1.0
+    return lam, rho
+
+
+def irregular_density_evolution(erasure_prob: float, lam, rho,
+                                iterations: int, threshold: float = 0.0
+                                ) -> List[float]:
+    """Edge-erasure DE x_{t+1} = eps * lambda(1 - rho(1 - x_t)).
+
+    The irregular generalisation of :func:`density_evolution`; with the
+    degenerate distributions of :func:`regular_lam_rho` the two recursions
+    are identical.
+    """
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    results = [erasure_prob]
+    x = erasure_prob
+    for _ in range(iterations):
+        x = erasure_prob * _poly_val(lam, 1.0 - _poly_val(rho, 1.0 - x))
+        if x <= threshold:
+            break
+        results.append(x)
+    return results
+
+
+def irregular_below_threshold(erasure_prob: float, lam, rho,
+                              max_iterations: int = 100_000,
+                              tolerance: float = 1e-6) -> bool:
+    """Does irregular DE drive the edge erasure rate below ``tolerance``?"""
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    x = erasure_prob
+    for _ in range(max_iterations):
+        new_x = erasure_prob * _poly_val(lam, 1.0 - _poly_val(rho, 1.0 - x))
+        if new_x < tolerance:
+            return True
+        # monotone decreasing recursion: stagnation => stuck above tolerance
+        if x - new_x < 1e-15:
+            return False
+        x = new_x
+    return x < tolerance
+
+
+def irregular_threshold(lam, rho, precision: float = 1e-9) -> float:
+    """BP threshold eps*(lambda, rho) by the same bisection as
+    :func:`calc_threshold`.  Sanity properties (tested): equals the regular
+    threshold on degenerate distributions, never exceeds the Shannon limit
+    1 - design_rate, and never exceeds the stability limit
+    1/(lambda'(0) rho'(1))."""
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    lo, hi = 0.0, 1.0
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if irregular_below_threshold(mid, lam, rho):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def stability_limit(lam, rho) -> float:
+    """The stability condition's threshold bound 1/(lambda'(0) rho'(1)):
+    eps* <= this for every (lambda, rho) (equality when the degree-2
+    variable mass is what limits convergence near the fixed point x=0)."""
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    lam2 = float(lam[1])              # lambda'(0)
+    rho_d1 = float(sum(i * ci for i, ci in enumerate(rho)))  # rho'(1)
+    if lam2 == 0.0:
+        return math.inf
+    return 1.0 / (lam2 * rho_d1)

@@ -155,3 +155,83 @@ def test_gallager_mc_consistent_with_de_threshold():
     ber_hi = float(np.asarray(hi.bit_errors).mean()) / 2040
     assert ber_lo < thr * 0.6 * 0.25      # decoding helps well below
     assert ber_hi > thr                   # stuck above
+
+
+# ---------------------------------------------------------------------------
+# Irregular-ensemble DE (capability extension; self-contained anchors)
+# ---------------------------------------------------------------------------
+
+def test_irregular_degenerate_equals_regular():
+    """Degenerate (lambda, rho) must reproduce the regular recursion and
+    threshold exactly."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        calc_threshold, density_evolution, irregular_density_evolution,
+        irregular_threshold, regular_lam_rho)
+
+    for dv, dc in [(3, 6), (4, 8)]:
+        lam, rho = regular_lam_rho(dv, dc)
+        a = density_evolution(0.4, 30, dv, dc)
+        b = irregular_density_evolution(0.4, lam, rho, 30)
+        assert np.allclose(a, b, rtol=0, atol=1e-14)
+        assert abs(irregular_threshold(lam, rho, 1e-7)
+                   - calc_threshold(dv, dc, 1e-7)) < 1e-6
+
+
+def test_irregular_design_rate():
+    from iib_project_ldpc_codes_tpu.utils.theory import (design_rate,
+                                                         regular_lam_rho)
+
+    lam, rho = regular_lam_rho(3, 6)
+    assert abs(design_rate(lam, rho) - 0.5) < 1e-12
+    # lambda(x) = 0.5x + 0.5x^2, rho(x) = x^5:
+    # rate = 1 - (1/6)/(0.5/2 + 0.5/3) = 1 - 2/5
+    assert abs(design_rate([0, 0.5, 0.5], [0, 0, 0, 0, 0, 1.0])
+               - 0.6) < 1e-12
+
+
+def test_irregular_threshold_bounds():
+    """eps* <= Shannon limit (1 - rate) and <= the stability limit, for a
+    spread of irregular pairs; thresholds are strictly positive."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        design_rate, irregular_threshold, stability_limit)
+
+    pairs = [
+        ([0, 0.5, 0.5], [0, 0, 0, 0, 0, 1.0]),
+        ([0, 0.3, 0.3, 0.4], [0, 0, 0, 0, 0.5, 0.5]),
+        ([0, 0.0, 1.0], [0, 0, 0, 0, 0, 1.0]),     # (3,6) regular
+        ([0, 0.2, 0.0, 0.8], [0, 0, 0, 0, 0, 0, 0, 1.0]),
+    ]
+    for lam, rho in pairs:
+        thr = irregular_threshold(lam, rho, 1e-7)
+        assert 0.0 < thr < 1.0
+        assert thr <= 1.0 - design_rate(lam, rho) + 1e-6   # Shannon
+        assert thr <= stability_limit(lam, rho) + 1e-6      # stability
+
+
+def test_irregular_beats_regular_at_same_rate():
+    """A touch of degree-2/high-degree mixture beats (3,6) regular at
+    rate 1/2 -- the reason production codes are irregular.  The pair
+    below is rate-1/2 by construction."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        calc_threshold, design_rate, irregular_threshold)
+
+    # lambda(x) = a x + (1-a) x^3 with a chosen for rate 1/2 against
+    # rho(x) = x^5: need int(lam) = 2*int(rho) = 1/3
+    # a/2 + (1-a)/4 = 1/3  =>  a = 1/3
+    lam = [0, 1/3, 0, 2/3]
+    rho = [0, 0, 0, 0, 0, 1.0]
+    assert abs(design_rate(lam, rho) - 0.5) < 1e-12
+    thr = irregular_threshold(lam, rho, 1e-7)
+    assert thr > calc_threshold(3, 6) + 1e-3
+
+
+def test_irregular_validation_errors():
+    import pytest
+
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_threshold)
+
+    with pytest.raises(ValueError):
+        irregular_threshold([0.1, 0.9], [0, 0, 1.0])   # c0 != 0
+    with pytest.raises(ValueError):
+        irregular_threshold([0, 0.5, 0.4], [0, 0, 1.0])  # sum != 1
