@@ -102,4 +102,50 @@ for name, body in [("contig", v_contig), ("gather", v_gather),
     print(f"{name:12s} {dt*1e3:6.3f} ms/round "
           f"(state r+w at this rate = {2*state_mb/(dt*1e3):5.1f} GB/s)",
           flush=True)
+
+
+# -- int4 message planes (VERDICT round-2 item 8, probe only) --------------
+# Two messages per byte along the lane axis: the skeleton's state bytes
+# halve; unpack/pack costs extra VPU shifts.  Speed probe only (int4
+# min-sum quantisation quality is a separate question).
+
+def pack4(x):
+    """int16/int8 [rows, B] -> uint8 [rows, B//2], values clipped to
+    [-8, 7], lane pairs packed low-nibble-first."""
+    x = jnp.clip(x, -8, 7).astype(jnp.int8)
+    lo = x[:, 0::2] & jnp.int8(0x0F)
+    hi = (x[:, 1::2] & jnp.int8(0x0F)) << 4
+    return (lo | hi).astype(jnp.uint8)
+
+
+def unpack4(p):
+    """uint8 [rows, B//2] -> int8 [rows, B] (sign-extended nibbles)."""
+    lo = ((p << 4).astype(jnp.int8)) >> 4
+    hi = p.astype(jnp.int8) >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0], -1)
+
+
+mcv4_0 = pack4(jnp.asarray(rng.integers(-8, 8, (dc * m, B), np.int16)))
+
+
+def v4_gather(mcv4):
+    return jnp.take(mcv4, perm, axis=0)
+
+
+def v4_full(mcv4):
+    post = llr0.astype(jnp.int16)
+    for p in range(dv):
+        post = post + unpack4(jnp.take(mcv4, tvi[p], axis=0))
+    pm4 = pack4(post)
+    rows = [unpack4(jnp.take(pm4, chk[:, j], axis=0)).astype(jnp.int16)
+            - unpack4(mcv4[j * m:(j + 1) * m]) for j in range(dc)]
+    new_rows = sb._check_update_minsum(rows, 1.0, 0.0, mag_cap=7)
+    return jnp.concatenate([pack4(r) for r in new_rows], axis=0)
+
+
+for name, body in [("int4_gather", v4_gather), ("int4_full", v4_full)]:
+    dt = timeit(loop(body), mcv4_0) / iters
+    print(f"{name:12s} {dt*1e3:6.3f} ms/round "
+          f"(half-size state r+w = {state_mb/(dt*1e3):5.1f} GB/s)",
+          flush=True)
 print("DONE", flush=True)

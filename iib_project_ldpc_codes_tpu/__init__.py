@@ -21,6 +21,7 @@ __version__ = "0.1.0"
 
 from .models.code import LDPCCode, code_from_checks, dense_parity_check
 from .models.ensemble import sample_code, sample_codes
+from .models.irregular import IrregularEnsembleSpec, IrregularLDPCCode
 from .ops.channels import BEC, BSC, AWGN, ERASURE
 
 __all__ = [
@@ -29,6 +30,8 @@ __all__ = [
     "dense_parity_check",
     "sample_code",
     "sample_codes",
+    "IrregularEnsembleSpec",
+    "IrregularLDPCCode",
     "BEC",
     "BSC",
     "AWGN",

@@ -15,6 +15,8 @@ Two invocation styles:
 Optional flags (either style):
   --platform=cpu|tpu     force the backend (default: whatever jax picks)
   --devices=N            shard the batch over N devices (mesh + psum)
+  --edge-sharded         shard the Tanner graph instead of the batch
+                         (huge-n fixed-code BEC runs, n ~ 10^6)
   --output-dir=DIR       where results are written
   --legacy-csv           also write the reference CSV format
 """
@@ -41,9 +43,13 @@ def _apply_platform(flag: str | None, n_devices: int | None):
         # (not jax.devices()) so no backend gets initialised before the
         # platform pin takes effect.
         try:
+            # Private registry probe, shape verified against jax 0.9.0
+            # (xla_bridge._backend_factories: dict[str, factory]).  Any
+            # failure -- the module moving, the attr changing type --
+            # falls through to the plain "tpu" pin below.
             from jax._src import xla_bridge
             registered = set(getattr(xla_bridge, "_backend_factories", {}))
-        except ImportError:
+        except Exception:
             registered = set()
         if registered:
             # Prefer a remote-TPU tunnel plugin when one is registered:
@@ -90,6 +96,11 @@ def main(argv=None) -> int:
         cfg.output_dir = flags["output-dir"]
     if flags.get("legacy-csv"):
         cfg.write_legacy_csv = True
+    if flags.get("edge-sharded"):
+        # huge-n runs: shard the Tanner graph across the mesh instead of
+        # the trial batch (fixed-code BEC+bp; parallel/edge_sharded.py)
+        cfg.edge_sharded = True
+        cfg.__post_init__()  # re-validate the flag combination
 
     n_devices = int(flags["devices"]) if "devices" in flags else None
     _apply_platform(flags.get("platform"), n_devices)

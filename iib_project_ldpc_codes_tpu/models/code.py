@@ -83,6 +83,10 @@ def code_from_checks(chk_to_var: jax.Array, n: int, dv: int, dc: int) -> LDPCCod
     )
     flat = chk_to_var.reshape(-1)
     order = jnp.argsort(flat, stable=True).astype(jnp.int32)
+    # Re-attach flat's varying-manual-axes type: jax 0.9.0's argsort index
+    # output drops the operand's vma under shard_map (see
+    # models/ensemble._with_key_vma); the zero-add is folded by XLA.
+    order = order + (flat[0] & jnp.int32(0))
     var_to_edge = order.reshape(n, dv)
     return LDPCCode(chk_to_var=chk_to_var, var_to_edge=var_to_edge, n=n, dv=dv, dc=dc)
 

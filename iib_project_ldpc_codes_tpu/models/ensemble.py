@@ -48,12 +48,28 @@ def _perm_to_checks(perm: jax.Array, dv: int, dc: int) -> jax.Array:
     return (perm // dv).reshape(-1, dc).astype(jnp.int32)
 
 
+def _with_key_vma(x: jax.Array, key: jax.Array) -> jax.Array:
+    """Re-attach the key's varying-manual-axes type to ``x``.
+
+    jax 0.9.0 bug (verified with jax.typeof under shard_map): sort-derived
+    *index* outputs drop the operand's vma -- ``argsort(bits)`` of a
+    varying ``bits`` comes back unvarying, and ``jax.random.permutation``
+    (argsort of random bits internally) therefore returns an unvarying
+    array from a varying key.  Downstream while_loops then fail shard_map's
+    check_vma with "carry input int32[E] vs output int32[E]{V:axis}".
+    Adding a key-derived zero unions the correct vma back in; XLA folds
+    the add away.  No-op outside shard_map (zero vma, zero value).
+    """
+    zero = jax.random.bits(key, (), jnp.uint32) & jnp.uint32(0)
+    return x + zero.astype(x.dtype)
+
+
 def _sample_reject(key: jax.Array, n: int, dv: int, dc: int) -> jax.Array:
     """Full-permutation rejection sampling (exact reference semantics)."""
 
     def draw(key):
         key, sub = jax.random.split(key)
-        perm = jax.random.permutation(sub, n * dv)
+        perm = _with_key_vma(jax.random.permutation(sub, n * dv), sub)
         return key, _perm_to_checks(perm, dv, dc)
 
     def cond(carry):
@@ -74,14 +90,25 @@ def _sample_reject(key: jax.Array, n: int, dv: int, dc: int) -> jax.Array:
 def _sample_repair(key: jax.Array, n: int, dv: int, dc: int) -> jax.Array:
     """Permutation sampling with duplicate-socket repair swaps.
 
-    Each pass: for every check row containing a duplicated variable, pick one
-    duplicated socket position and swap its permutation entry with a
-    uniformly random socket anywhere in the sequence.  Swaps preserve the
-    permutation property; passes repeat until every row is simple.
+    Each pass: find the first check-row socket that duplicates an earlier
+    socket of its row and swap its permutation entry with a uniformly random
+    socket anywhere in the sequence.  Swaps preserve the permutation
+    property; passes repeat until every row is simple.  The expected
+    duplicate count is ~ (dv-1)(dc-1)/2 regardless of n, so the expected
+    pass count is O(1).
+
+    One swap per pass (no inner loop): every swap sees a fresh duplicate
+    scan, and -- structurally -- a single ``while_loop`` whose state all
+    flows through the carry is the formulation jax 0.9.0's shard_map
+    varying-manual-axes checker accepts.  A scan/fori_loop nested inside a
+    while_loop body fails that checker even when correctly replicated
+    (the while fixpoint starts carries as unvarying and the inner loop
+    hard-errors on the input/output vma mismatch before the fixpoint can
+    promote them -- see tests/test_montecarlo.py::test_check_vma_passes).
     """
     E = n * dv
     key, sub = jax.random.split(key)
-    perm = jax.random.permutation(sub, E)
+    perm = _with_key_vma(jax.random.permutation(sub, E), sub)
 
     def dup_positions(perm):
         # bool[E] in check-socket layout: socket j of row i duplicates an
@@ -98,29 +125,13 @@ def _sample_repair(key: jax.Array, n: int, dv: int, dc: int) -> jax.Array:
 
     def body(carry):
         perm, key, passes = carry
-        dup = dup_positions(perm)
+        # cond guarantees a duplicate exists; argmax of the bool mask is its
+        # first position.
+        i = jnp.argmax(dup_positions(perm)).astype(jnp.int32)
         key, k_pick = jax.random.split(key)
-        # Swap duplicated sockets with independent random partners,
-        # sequentially (later swaps see earlier ones) over a bounded budget
-        # per pass; any overflow is handled on the next pass.  The expected
-        # duplicate count is ~ (dv-1)(dc-1)/2 regardless of n, so the budget
-        # is generous.
-        budget = min(256, E)
-        idx = jnp.nonzero(dup, size=budget, fill_value=-1)[0]
-        partners = jax.random.randint(k_pick, (budget,), 0, E)
-
-        def do_swap(t, perm):
-            # Branchless masked swap (a lax.cond here trips shard_map's
-            # varying-manual-axes check): invalid slots (i < 0) degenerate
-            # to writing back the original values.
-            i, j = idx[t], partners[t]
-            valid = i >= 0
-            i_s = jnp.where(valid, i, 0)
-            pi, pj = perm[i_s], perm[j]
-            perm = perm.at[i_s].set(jnp.where(valid, pj, pi))
-            return perm.at[j].set(jnp.where(valid, pi, pj))
-
-        perm = jax.lax.fori_loop(0, budget, do_swap, perm)
+        j = jax.random.randint(k_pick, (), 0, E)
+        pi, pj = perm[i], perm[j]
+        perm = perm.at[i].set(pj).at[j].set(pi)
         return perm, key, passes + 1
 
     perm, _, _ = jax.lax.while_loop(cond, body, (perm, key, jnp.int32(0)))
@@ -162,15 +173,27 @@ def sample_codes(key: jax.Array, num: int, n: int, dv: int, dc: int,
     return build(chk)
 
 
-def code_for_config(cfg) -> "LDPCCode":
-    """Deterministic fixed code keyed by (code_number, n, dv, dc).
+def code_for_config(cfg):
+    """Deterministic fixed code keyed by (code_number, n, degrees).
 
     The replacement for the reference's ``.npy`` parity-check cache
     (parallel_simulator.py:289-335): regenerating from the key is exact,
     so nothing needs to be stored -- and every process of a multi-host
-    job derives the *same* code without any broadcast.
+    job derives the *same* code without any broadcast.  Irregular configs
+    (cfg.lam/rho set) fold a hash of the degree distributions in and
+    return an :class:`..models.irregular.IrregularLDPCCode`.
     """
     import jax
+
+    if getattr(cfg, "lam", None) is not None:
+        from .irregular import IrregularEnsembleSpec
+
+        fold = hash((tuple(cfg.lam), tuple(cfg.rho))) & 0x7FFFFFFF
+        code_key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),
+            fold)
+        spec = IrregularEnsembleSpec.from_lam_rho(cfg.n, cfg.lam, cfg.rho)
+        return spec.sample(code_key, cfg.sampler)
 
     code_key = jax.random.fold_in(
         jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),

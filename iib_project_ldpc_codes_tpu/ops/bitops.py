@@ -76,3 +76,19 @@ def bernoulli_packed(key: jax.Array, prob, shape) -> jax.Array:
     # Monte Carlo bias bounded by 2^-24 relative, far below CI widths.
     hit = raw.astype(jnp.float32) < thresh
     return pack_bits(hit)
+
+
+def with_vma_of(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Union ``ref``'s varying-manual-axes type into ``x``.
+
+    jax 0.9.0's shard_map checker does not promote while_loop carries
+    whose initial value is unvarying (e.g. a ``jnp.zeros`` decoder state)
+    but whose body output is varying -- it hard-errors with a carry type
+    mismatch.  Mixing in a ref-derived zero (folded away by XLA) gives the
+    initial value the right vma.  No-op outside shard_map or when ``ref``
+    is unvarying.
+    """
+    zero = (ref.reshape(-1)[:1] != ref.reshape(-1)[:1])[0]  # False, ref's vma
+    if x.dtype == jnp.bool_:
+        return x ^ zero
+    return x + zero.astype(x.dtype)

@@ -331,3 +331,136 @@ def bp_decode_packed_traj(code: LDPCCode, erased: jax.Array,
                             error_totals=jnp.sum(traj, axis=1),
                             iterations=it)
     return result, traj
+
+
+# ---------------------------------------------------------------------------
+# Irregular codes: phantom-padded reuse of the packed kernels.
+#
+# models/irregular.py pads check rows to dc_max with a phantom variable n
+# (kept permanently known, value 0) and variable rows to dv_max with a
+# phantom check m (all-phantom participants => exactly_one == 0), so the
+# *regular* packed iteration above runs verbatim on [n+1, W] state planes:
+# no masks, no selects, same per-socket contiguous-plane gathers.  This
+# generalises message_passing.c:7-82 beyond regular degrees.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _PhantomView:
+    """Regular-decoder view of an irregular code (duck-typed LDPCCode).
+
+    ``n`` counts the phantom row, ``dv``/``dc`` are the padded maxima;
+    ``var_to_chk`` is a direct field (LDPCCode derives it from
+    var_to_edge, but the kernels only read the attribute).
+    """
+
+    chk_to_var: jax.Array   # int32[m+1, dc_max]
+    var_to_chk: jax.Array   # int32[n+1, dv_max]
+    n: int = dataclasses.field(metadata=dict(static=True))
+    dv: int = dataclasses.field(metadata=dict(static=True))
+    dc: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _phantom_view(code) -> _PhantomView:
+    return _PhantomView(chk_to_var=code.chk_to_var,
+                        var_to_chk=code.var_to_chk,
+                        n=code.n + 1, dv=code.dv_max, dc=code.dc_max)
+
+
+def _pad_phantom_row(plane: jax.Array) -> jax.Array:
+    """Append the phantom variable's plane (all zero: not erased)."""
+    return jnp.concatenate(
+        [plane, jnp.zeros((1,) + plane.shape[1:], plane.dtype)], axis=0)
+
+
+def _strip_phantom(res: PackedBPResult) -> PackedBPResult:
+    return PackedBPResult(val=res.val[:-1], known=res.known[:-1],
+                          error_totals=res.error_totals,
+                          iterations=res.iterations)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_packed_irregular(code, erased: jax.Array, tx_bits: jax.Array,
+                               max_iters: int) -> PackedBPResult:
+    """:func:`bp_decode_packed` for an :class:`..models.irregular
+    .IrregularLDPCCode`; identical semantics, [n, W] planes."""
+    res = bp_decode_packed(_phantom_view(code), _pad_phantom_row(erased),
+                           _pad_phantom_row(tx_bits), max_iters)
+    return _strip_phantom(res)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_packed_allzero_irregular(code, erased: jax.Array,
+                                       max_iters: int) -> PackedBPResult:
+    """All-zero-codeword fast path for irregular codes."""
+    res = bp_decode_packed_allzero(_phantom_view(code),
+                                   _pad_phantom_row(erased), max_iters)
+    return _strip_phantom(res)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_packed_traj_irregular(code, erased: jax.Array,
+                                    tx_bits: jax.Array, max_iters: int):
+    """Per-trial-trajectory variant for irregular codes."""
+    res, traj = bp_decode_packed_traj(
+        _phantom_view(code), _pad_phantom_row(erased),
+        _pad_phantom_row(tx_bits), max_iters)
+    return _strip_phantom(res), traj
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_irregular(code, channel_output: jax.Array, max_iters: int
+                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-codeword {0,1,2} oracle decoder for irregular codes.
+
+    Mirrors :func:`bp_decode` semantics (same return triple).  Unlike the
+    packed path this one needs explicit per-socket masks: the per-edge
+    "all other participants known" validity of the naive formulation is
+    (vacuously) true for the all-known phantom check, so its zero-valued
+    messages must be masked off rather than padded away.
+    """
+    channel_output = jnp.asarray(channel_output, jnp.int32)
+    known0 = jnp.concatenate([channel_output != ERASURE,
+                              jnp.ones((1,), bool)])
+    val0 = jnp.where(known0, jnp.concatenate([channel_output,
+                                              jnp.zeros((1,), jnp.int32)]), 0)
+    var_mask = code.var_mask          # bool[n+1, dv_max]
+    count0 = jnp.sum(~known0).astype(jnp.int32)
+    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
+
+    def iteration(val, known):
+        row_val = val[code.chk_to_var]       # [m+1, dc_max]
+        row_kn = known[code.chk_to_var]
+        cnt = jnp.sum(row_kn, axis=1, keepdims=True)
+        xor_all = jnp.bitwise_xor.reduce(row_val & row_kn, axis=1,
+                                         keepdims=True)
+        others_known = (cnt - row_kn) == (code.dc_max - 1)
+        mcv_val = jnp.bitwise_xor(xor_all, row_val & row_kn)
+
+        e_valid = others_known.reshape(-1)[code.var_to_sock] & var_mask
+        e_val = mcv_val.reshape(-1)[code.var_to_sock]
+        any_valid = jnp.any(e_valid, axis=1)
+        adopt = jnp.any(e_valid & (e_val == 1), axis=1).astype(val.dtype)
+        new_known = known | any_valid
+        new_val = jnp.where(known, val, adopt * any_valid)
+        return new_val, new_known
+
+    def cond(carry):
+        _, _, _, it, count, changed = carry
+        return (it < max_iters) & changed & (count > 0)
+
+    def body(carry):
+        val, known, errors, it, count, _ = carry
+        val, known = iteration(val, known)
+        new_count = jnp.sum(~known).astype(jnp.int32)
+        errors = errors.at[it + 1].set(new_count)
+        return (val, known, errors, it + 1, new_count, new_count != count)
+
+    val, known, errors, it, count, _ = jax.lax.while_loop(
+        cond, body,
+        (val0, known0, errors, jnp.int32(0), count0, count0 > -1))
+
+    tail = jnp.arange(max_iters + 1) > it
+    errors = jnp.where(tail, count, errors)
+    decoded = jnp.where(known, val, ERASURE)[:-1]
+    return decoded, errors, it

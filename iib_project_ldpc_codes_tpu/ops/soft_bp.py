@@ -252,7 +252,13 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     else:
         acc_dtype = jnp.float32
         llr0 = llr
-    mcv0 = jnp.zeros((code.dc * code.m, llr.shape[1]), msg_dtype)
+    from .bitops import with_vma_of
+
+    # Initial carries must carry the llr's varying-manual-axes type for
+    # shard_map's checker (while_loop does not promote; see
+    # bitops.with_vma_of) -- the body outputs are llr-derived.
+    mcv0 = with_vma_of(jnp.zeros((code.dc * code.m, llr.shape[1]),
+                                 msg_dtype), llr0)
     count0 = jnp.sum(llr < 0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
@@ -272,7 +278,9 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
         return (mcv, errors, it + 1, jnp.all(sat_prev))
 
     mcv, errors, it, _ = jax.lax.while_loop(
-        cond, body, (mcv0, errors, jnp.int32(0), jnp.asarray(False)))
+        cond, body,
+        (mcv0, errors, jnp.int32(0),
+         with_vma_of(jnp.asarray(False), llr0)))
 
     # reconstruct the final posterior from the check-resident state
     post = _posterior(code, llr0, mcv, to_var_idx, acc_dtype)

@@ -122,6 +122,15 @@ def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
         errors = jnp.where(tail, count, errors)
         return known, errors, it
 
+    # check_vma=False is a genuine expressiveness limit of jax 0.9.0's
+    # varying-manual-axes lattice, not a bug here: the OR-all-reduce
+    # (all_gather + reduce) returns a value that is bit-identical on every
+    # device, but the checker still types all_gather output as varying and
+    # offers no varying->invarying pcast (jax.lax.pcast supports only
+    # invarying->varying/reduced, varying->unreduced, reduced->varying).
+    # The replicated fixed-point carry therefore cannot be typed.  The
+    # replication itself is proven by tests/test_edge_sharded.py's
+    # bit-identity against the single-device decoder.
     sharded = jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(axis, None), P(), P()),

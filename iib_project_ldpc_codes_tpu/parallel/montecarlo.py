@@ -34,8 +34,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.code import LDPCCode
 from ..models.ensemble import sample_check_table
 from ..models.code import code_from_checks
+from ..models.irregular import IrregularLDPCCode
 from ..ops.bitops import bernoulli_packed
-from ..ops.erasure_bp import bp_decode_packed, bp_decode_packed_allzero
+from ..ops.erasure_bp import (bp_decode_packed, bp_decode_packed_allzero,
+                              bp_decode_packed_allzero_irregular)
 from ..utils.config import SimulationConfig
 from ..utils.results import SimulationResult
 from .mesh import BATCH_AXIS, make_mesh
@@ -58,17 +60,31 @@ class ChunkStats:
     bit_errors: jax.Array     # int32 scalar (final erasures, counted trials)
     excluded: jax.Array       # int32 scalar (expurgation-gated trials)
     bit_errors_sq: jax.Array  # f32 scalar, sum of per-trial error count^2
+    # f32 scalar, sum over fresh codes of (per-code total bit errors)^2:
+    # the cluster-level second moment.  Trials sharing a code are
+    # positively correlated, so ensemble-mode CIs must use the per-code
+    # cluster variance, not the per-trial one (utils.stats.ber_ci).
+    # None outside ensemble mode.
+    code_bit_errors_sq: Optional[jax.Array] = None
 
 
-def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
+def _allzero_decode(code, erased: jax.Array, iterations: int):
+    """Dispatch the all-zero packed decode by code family."""
+    if isinstance(code, IrregularLDPCCode):
+        return bp_decode_packed_allzero_irregular(code, erased, iterations)
+    return bp_decode_packed_allzero(code, erased, iterations)
+
+
+def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
               iterations: int, erasure_prob,
               expurgation: Optional[int]) -> ChunkStats:
-    """Decode 32*words all-zero-codeword trials on one code."""
+    """Decode 32*words all-zero-codeword trials on one code (regular
+    LDPCCode or IrregularLDPCCode)."""
     erased = bernoulli_packed(key, erasure_prob, (n, words))
     if expurgation is None:
         # all-zero transmit (the reference's only workload,
         # parallel_simulator.py:222) -> known-mask-only fast path
-        res = bp_decode_packed_allzero(code, erased, iterations)
+        res = _allzero_decode(code, erased, iterations)
         per_trial = res.bit_errors
         return ChunkStats(
             error_totals=res.error_totals,
@@ -90,11 +106,11 @@ def _bp_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
     # instead of ~30x for per-iteration per-trial counting.
     from ..ops.bitops import pack_bits
 
-    res1 = bp_decode_packed_allzero(code, erased, iterations)
+    res1 = _allzero_decode(code, erased, iterations)
     final = res1.bit_errors                                  # int32[B]
     include = final > expurgation                            # bool[B]
     include_words = pack_bits(include[None, :])[0]           # uint32[W]
-    res2 = bp_decode_packed_allzero(
+    res2 = _allzero_decode(
         code, erased & include_words[None, :], iterations)
     return ChunkStats(
         error_totals=res2.error_totals,
@@ -152,25 +168,22 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
     )
 
 
-def _ensemble_chunk(key: jax.Array, *, n: int, dv: int, dc: int,
-                    num_codes: int, words_per_code: int, iterations: int,
-                    erasure_prob, expurgation: Optional[int],
-                    sampler: str) -> ChunkStats:
-    """Fresh-codes chunk: num_codes codes x 32*words_per_code trials each
-    (reference mode 0 draws a fresh code per trial,
+def _fresh_codes_chunk(key: jax.Array, *, num_codes: int, sample_fn,
+                       decode_one) -> ChunkStats:
+    """Fresh-codes chunk: num_codes codes from ``sample_fn(key)``, each
+    decoded by ``decode_one(code, noise_key) -> ChunkStats`` on its own
+    trial sub-batch (reference mode 0 draws a fresh code per trial,
     parallel_simulator.py:198-221; here trials sharing a code are the 32
     packing lanes -- set codes_per_chunk=batch/32 for one code per lane
-    group)."""
+    group).  The single combinator for every code family and device
+    decoder; also records the per-code cluster second moment for the
+    clustered CI."""
     kc, kx = jax.random.split(key)
     code_keys = jax.random.split(kc, num_codes)
     noise_keys = jax.random.split(kx, num_codes)
 
     def one(code_key, noise_key):
-        chk = sample_check_table(code_key, n, dv, dc, sampler)
-        code = code_from_checks(chk, n=n, dv=dv, dc=dc)
-        return _bp_chunk(code, noise_key, n=n, words=words_per_code,
-                         iterations=iterations, erasure_prob=erasure_prob,
-                         expurgation=expurgation)
+        return decode_one(sample_fn(code_key), noise_key)
 
     stats = jax.vmap(one)(code_keys, noise_keys)
     return ChunkStats(
@@ -179,7 +192,21 @@ def _ensemble_chunk(key: jax.Array, *, n: int, dv: int, dc: int,
         bit_errors=jnp.sum(stats.bit_errors),
         excluded=jnp.sum(stats.excluded),
         bit_errors_sq=jnp.sum(stats.bit_errors_sq),
+        code_bit_errors_sq=jnp.sum(
+            jnp.square(stats.bit_errors.astype(jnp.float32))),
     )
+
+
+def _ensemble_layout(cfg: SimulationConfig, n_dev: int):
+    """(codes per device-chunk, words per code) for ensemble mode.
+
+    One place so the chunk kernel and the driver's cluster-size accounting
+    (trials_per_code = 32 * words_per_code) can never disagree."""
+    words = cfg.batch // 32 // n_dev
+    num_codes = max(cfg.codes_per_chunk // n_dev, 1)
+    while words % num_codes:
+        num_codes -= 1  # keep trial accounting exact
+    return num_codes, words // num_codes
 
 
 def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
@@ -201,79 +228,55 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         raise ValueError("batch must divide by 32 * n_devices")
     words = cfg.batch // 32 // n_dev  # per-device words (packed decoders)
 
-    def decode_one(c: LDPCCode, key: jax.Array) -> ChunkStats:
-        if pair == ("BEC", "bp"):
-            return _bp_chunk(c, key, n=cfg.n, words=words,
-                             iterations=cfg.iterations,
-                             erasure_prob=cfg.channel_param,
-                             expurgation=cfg.expurgation)
-        if pair == ("BSC", "gallager"):
-            return _gallager_chunk(c, key, n=cfg.n, words=words,
-                                   iterations=cfg.iterations,
-                                   crossover_prob=cfg.channel_param,
-                                   threshold=cfg.gallager_threshold)
-        return _soft_chunk(c, key, n=cfg.n, batch=words * 32,
-                           iterations=cfg.iterations, channel=cfg.channel,
-                           channel_param=cfg.channel_param,
-                           method=cfg.decoder, alpha=cfg.minsum_alpha,
-                           beta=cfg.minsum_beta,
-                           msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
+    def make_decode_one(sub_words: int):
+        def decode_one(c: LDPCCode, key: jax.Array) -> ChunkStats:
+            if pair == ("BEC", "bp"):
+                return _bp_chunk(c, key, n=cfg.n, words=sub_words,
+                                 iterations=cfg.iterations,
+                                 erasure_prob=cfg.channel_param,
+                                 expurgation=cfg.expurgation)
+            if pair == ("BSC", "gallager"):
+                return _gallager_chunk(c, key, n=cfg.n, words=sub_words,
+                                       iterations=cfg.iterations,
+                                       crossover_prob=cfg.channel_param,
+                                       threshold=cfg.gallager_threshold)
+            return _soft_chunk(c, key, n=cfg.n, batch=sub_words * 32,
+                               iterations=cfg.iterations, channel=cfg.channel,
+                               channel_param=cfg.channel_param,
+                               method=cfg.decoder, alpha=cfg.minsum_alpha,
+                               beta=cfg.minsum_beta,
+                               msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
+
+        return decode_one
 
     if cfg.code_mode == "fixed":
         if code is None:
             raise ValueError("fixed code_mode requires a code")
+        decode_one = make_decode_one(words)
 
         def local_chunk(key):
             return decode_one(code, key)
     else:
-        num_codes = max(cfg.codes_per_chunk // n_dev, 1)
-        while words % num_codes:
-            num_codes -= 1  # keep trial accounting exact
-        if pair == ("BEC", "bp"):
-            wpc = words // num_codes
+        num_codes, wpc = _ensemble_layout(cfg, n_dev)
 
-            def local_chunk(key):
-                return _ensemble_chunk(key, n=cfg.n, dv=cfg.dv, dc=cfg.dc,
-                                       num_codes=num_codes,
-                                       words_per_code=wpc,
-                                       iterations=cfg.iterations,
-                                       erasure_prob=cfg.channel_param,
-                                       expurgation=cfg.expurgation,
-                                       sampler=cfg.sampler)
+        if cfg.irregular:
+            from ..models.irregular import IrregularEnsembleSpec
+
+            spec = IrregularEnsembleSpec.from_lam_rho(cfg.n, cfg.lam,
+                                                      cfg.rho)
+
+            def sample_fn(key):
+                return spec.sample(key, cfg.sampler)
         else:
-            # generic fresh-codes wrapper over any device decoder
-            sub_words = words // num_codes
+            def sample_fn(key):
+                chk = sample_check_table(key, cfg.n, cfg.dv, cfg.dc,
+                                         cfg.sampler)
+                return code_from_checks(chk, n=cfg.n, dv=cfg.dv, dc=cfg.dc)
 
-            def local_chunk(key):
-                kc, kx = jax.random.split(key)
-                code_keys = jax.random.split(kc, num_codes)
-                noise_keys = jax.random.split(kx, num_codes)
-
-                def one(code_key, noise_key):
-                    chk = sample_check_table(code_key, cfg.n, cfg.dv,
-                                             cfg.dc, cfg.sampler)
-                    c = code_from_checks(chk, n=cfg.n, dv=cfg.dv, dc=cfg.dc)
-                    # words is closed over; decode a sub-batch per code
-                    if pair == ("BSC", "gallager"):
-                        return _gallager_chunk(
-                            c, noise_key, n=cfg.n, words=sub_words,
-                            iterations=cfg.iterations,
-                            crossover_prob=cfg.channel_param,
-                            threshold=cfg.gallager_threshold)
-                    return _soft_chunk(
-                        c, noise_key, n=cfg.n, batch=sub_words * 32,
-                        iterations=cfg.iterations, channel=cfg.channel,
-                        channel_param=cfg.channel_param, method=cfg.decoder,
-                        alpha=cfg.minsum_alpha, beta=cfg.minsum_beta,
-                        msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
-
-                stats = jax.vmap(one)(code_keys, noise_keys)
-                return ChunkStats(
-                    error_totals=jnp.sum(stats.error_totals, axis=0),
-                    block_errors=jnp.sum(stats.block_errors),
-                    bit_errors=jnp.sum(stats.bit_errors),
-                    excluded=jnp.sum(stats.excluded),
-                    bit_errors_sq=jnp.sum(stats.bit_errors_sq))
+        def local_chunk(key):
+            return _fresh_codes_chunk(
+                key, num_codes=num_codes, sample_fn=sample_fn,
+                decode_one=make_decode_one(wpc))
 
     if mesh is None:
         return jax.jit(local_chunk)
@@ -285,17 +288,59 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
             return jax.tree.map(
                 lambda x: jax.lax.psum(x, BATCH_AXIS), stats)
 
-        # check_vma=False: the varying-manual-axes checker false-positives
-        # on the sampler's nonzero/fori_loop composition under vmap; the
-        # outputs are psum-reduced and genuinely replicated.
         return jax.shard_map(
             per_device, mesh=mesh,
             in_specs=P(),
             out_specs=P(),
-            check_vma=False,
         )(key)
 
     return jax.jit(sharded_chunk)
+
+
+def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
+                               mesh: Mesh):
+    """Chunk kernel for huge-n fixed-code runs: the *graph* is sharded
+    across the mesh (parallel/edge_sharded.py) while the trial batch is
+    replicated.  Counters are bit-identical to the unsharded engine's for
+    the same (seed, batch): the same chunk keys draw the same erasures
+    and the edge-sharded decoder reaches the same fixed point -- so a
+    mesh-size change never changes the statistics, only the wall clock.
+
+    This is the Monte-Carlo closure of SURVEY section 5's long-context
+    analogue: FER/waterfall statistics at n = 10^5..10^6, beyond the
+    reference's largest plotted n = 10^5 (tools/plotting.py:357)."""
+    from .edge_sharded import edge_sharded_bp_decode
+
+    words = cfg.batch // 32
+    if code.m % mesh.size:
+        raise ValueError(f"m={code.m} must divide mesh size {mesh.size}")
+
+    def chunk(key):
+        erased = bernoulli_packed(key, cfg.channel_param, (cfg.n, words))
+        res = edge_sharded_bp_decode(code, erased, cfg.iterations, mesh)
+        per_trial = res.bit_errors
+        return ChunkStats(
+            error_totals=res.error_totals,
+            block_errors=jnp.sum(res.failed).astype(jnp.int32),
+            bit_errors=jnp.sum(per_trial).astype(jnp.int32),
+            excluded=jnp.int32(0),
+            bit_errors_sq=jnp.sum(jnp.square(per_trial.astype(jnp.float32))),
+        )
+
+    return jax.jit(chunk)
+
+
+def _require_single_process(driver: str) -> None:
+    """The host-path drivers run no collectives and no wall-clock
+    broadcast (unlike the main loop, which broadcasts process 0's clock
+    each chunk); under a multi-process job they would each repeat the full
+    num_tests and could stop at divergent points.  Guard rather than trap
+    whoever first adds a psum'd stage to one of them."""
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            f"the {driver} driver is single-process only: it has no "
+            "psum'd counters and no wall-clock broadcast; run it outside "
+            "the jax.distributed job")
 
 
 def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
@@ -315,6 +360,7 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     from ..ops.erasure_bp import bp_decode
     from ..ops.ml import ml_decode_batch, ml_decode_batch_ensemble
 
+    _require_single_process("ml/both")
     run_bp = cfg.decoder == "both"
     ensemble = cfg.code_mode != "fixed"
     key = jax.random.key(cfg.seed)
@@ -418,6 +464,7 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     experiments in `utils.experiments`."""
     from ..models.ensemble import sample_code as _sample_code
 
+    _require_single_process("peeling")
     if code is None and cfg.code_mode == "fixed":
         raise ValueError("fixed code_mode requires a code")
     key = jax.random.key(cfg.seed)
@@ -475,9 +522,17 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         return _run_ml_or_both(cfg, code)
     if cfg.decoder == "peeling":
         return _run_peeling(cfg, code)
-    if mesh is None and use_all_devices and len(jax.devices()) > 1:
+    if mesh is None and (cfg.edge_sharded or use_all_devices) \
+            and len(jax.devices()) > 1:
         mesh = make_mesh()
-    chunk_fn = make_chunk_fn(cfg, code, mesh)
+    if cfg.edge_sharded:
+        if code is None:
+            raise ValueError("edge_sharded requires a fixed code")
+        if mesh is None:
+            mesh = make_mesh(jax.devices()[:1])
+        chunk_fn = make_edge_sharded_chunk_fn(cfg, code, mesh)
+    else:
+        chunk_fn = make_chunk_fn(cfg, code, mesh)
     key = jax.random.key(cfg.seed)
 
     # Multi-host: the counter-based stopping rules agree everywhere (the
@@ -501,6 +556,11 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     error_totals = np.zeros(cfg.iterations + 1, np.int64)
     block_errors = bit_errors = excluded = 0
     bit_errors_sq = 0.0
+    code_bit_errors_sq = 0.0
+    trials_per_code = None
+    if cfg.code_mode == "ensemble":
+        n_dev = 1 if mesh is None else mesh.size
+        trials_per_code = 32 * _ensemble_layout(cfg, n_dev)[1]
     stopped_by = "num_tests"
 
     # Resume from a counter snapshot: chunk keys are pure functions of
@@ -523,17 +583,20 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                 bit_errors = ck["bit_errors"]
                 excluded = ck["excluded"]
                 bit_errors_sq = ck.get("bit_errors_sq", 0.0)
+                code_bit_errors_sq = ck.get("code_bit_errors_sq", 0.0)
         if multi_process:
             from jax.experimental import multihost_utils
 
             state = multihost_utils.broadcast_one_to_all((
                 np.asarray([trials, chunk_idx, block_errors, bit_errors,
                             excluded], np.int64),
-                error_totals, np.asarray(bit_errors_sq, np.float64)))
+                error_totals,
+                np.asarray([bit_errors_sq, code_bit_errors_sq], np.float64)))
             (trials, chunk_idx, block_errors,
              bit_errors, excluded) = (int(x) for x in state[0])
             error_totals = np.asarray(state[1], np.int64)
-            bit_errors_sq = float(state[2])
+            bit_errors_sq = float(state[2][0])
+            code_bit_errors_sq = float(state[2][1])
 
     def write_checkpoint():
         tmp = cfg.checkpoint_path + ".tmp"
@@ -543,7 +606,8 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                            error_totals=error_totals.tolist(),
                            block_errors=block_errors,
                            bit_errors=bit_errors, excluded=excluded,
-                           bit_errors_sq=bit_errors_sq), f)
+                           bit_errors_sq=bit_errors_sq,
+                           code_bit_errors_sq=code_bit_errors_sq), f)
         os.replace(tmp, cfg.checkpoint_path)
 
     while trials < cfg.num_tests:
@@ -554,6 +618,8 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         bit_errors += int(stats.bit_errors)
         excluded += int(stats.excluded)
         bit_errors_sq += float(stats.bit_errors_sq)
+        if stats.code_bit_errors_sq is not None:
+            code_bit_errors_sq += float(stats.code_bit_errors_sq)
         trials += cfg.batch
         chunk_idx += 1
         if cfg.checkpoint_path and not (multi_process
@@ -583,6 +649,9 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         error_counts_per_iteration=error_totals.tolist(),
         excluded_trials=excluded,
         bit_errors_sq=bit_errors_sq,
+        code_bit_errors_sq=(code_bit_errors_sq
+                            if cfg.code_mode == "ensemble" else None),
+        trials_per_code=trials_per_code,
         elapsed_seconds=elapsed,
         timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
         stopped_by=stopped_by,

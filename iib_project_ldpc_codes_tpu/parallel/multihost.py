@@ -80,6 +80,18 @@ def main(argv=None) -> int:
         # process 0's is authoritative (montecarlo.py broadcasts it)
         cfg.checkpoint_path = flags["checkpoint-path"]
 
+    if cfg.decoder in ("ml", "both", "peeling"):
+        # These dispatch to host drivers that ignore the mesh: every
+        # process would independently repeat the full num_tests (no psum,
+        # no trial split) and the per-process wall clock has no broadcast,
+        # so this module's "psum'd counters, processes agree" contract
+        # would silently not hold.  Run those decoders single-process via
+        # the plain CLI instead.
+        raise SystemExit(
+            f"decoder {cfg.decoder!r} runs through a host driver with no "
+            "mesh support; use iib_project_ldpc_codes_tpu.cli (single "
+            "process) for ml/both/peeling runs")
+
     code = None
     if cfg.code_mode == "fixed" or cfg.decoder == "peeling":
         # pure function of (code_number, n, dv, dc): every process derives

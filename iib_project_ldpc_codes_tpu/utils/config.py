@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
+from typing import List, Optional
 
 
 @dataclasses.dataclass
@@ -34,6 +34,12 @@ class SimulationConfig:
     code_mode: str = "ensemble"   # "ensemble" (fresh code/trial) | "fixed"
     code_number: int = 1          # fixed-code id (concentration runs)
     sampler: str = "repair"       # "repair" | "reject"
+    # Irregular (lambda, rho) ensemble: edge-perspective degree
+    # distributions (utils.theory coefficient convention: lam[i] is the
+    # edge fraction on degree-(i+1) variables).  When set, dv/dc are
+    # ignored and codes come from models.irregular; BEC+bp only.
+    lam: Optional[List[float]] = None
+    rho: Optional[List[float]] = None
 
     # Decoder
     decoder: str = "bp"           # "bp" | "ml" | "both" | "peeling"
@@ -53,6 +59,12 @@ class SimulationConfig:
     # Monte Carlo execution
     seed: int = 0
     batch: int = 1024             # trials per chunk (multiple of 32)
+    # Shard the Tanner graph (check set) across the mesh instead of the
+    # trial batch -- Monte Carlo statistics at huge block lengths
+    # (n ~ 10^6, parallel/edge_sharded.py).  Fixed-code BEC+bp only; the
+    # batch is replicated and each chunk's counters are bit-identical to
+    # the unsharded engine's.
+    edge_sharded: bool = False
     codes_per_chunk: int = 32     # fresh codes per chunk in ensemble mode
     expurgation: Optional[int] = None  # exclude trials with <= s final
                                        # erasures from the statistics
@@ -68,7 +80,17 @@ class SimulationConfig:
     checkpoint_every_chunks: int = 10
 
     @property
+    def irregular(self) -> bool:
+        return self.lam is not None
+
+    @property
     def k(self) -> int:
+        if self.irregular:
+            from ..models.irregular import degree_sequences_from_lam_rho
+
+            _, chk_degrees = degree_sequences_from_lam_rho(
+                self.n, self.lam, self.rho)
+            return self.n - int(chk_degrees.size)
         return self.n * (self.dc - self.dv) // self.dc
 
     def __post_init__(self):
@@ -100,7 +122,26 @@ class SimulationConfig:
                              "corrections")
         if self.code_mode not in ("ensemble", "fixed"):
             raise ValueError(f"unknown code_mode {self.code_mode!r}")
-        if (self.n * self.dv) % self.dc:
+        if self.edge_sharded:
+            if (self.channel, self.decoder) != ("BEC", "bp"):
+                raise ValueError("edge_sharded requires BEC + bp")
+            if self.code_mode != "fixed":
+                raise ValueError("edge_sharded requires a fixed code "
+                                 "(the graph shard is per-code)")
+            if self.expurgation is not None:
+                raise ValueError("edge_sharded does not support "
+                                 "expurgation")
+            if self.lam is not None:
+                raise ValueError("edge_sharded supports regular codes "
+                                 "only")
+        if (self.lam is None) != (self.rho is None):
+            raise ValueError("lam and rho must be given together")
+        if self.lam is not None:
+            if (self.channel, self.decoder) != ("BEC", "bp"):
+                raise ValueError(
+                    "irregular (lam, rho) ensembles currently support "
+                    "BEC + bp only")
+        elif (self.n * self.dv) % self.dc:
             raise ValueError("n*dv must be divisible by dc")
         if self.code_mode == "ensemble":
             # clamp so every chunk divides evenly into >= 32-trial groups

@@ -47,6 +47,12 @@ class SimulationResult:
     # Sum of squared per-trial final error counts (block-level second
     # moment), feeding the empirical-variance BER CI (utils.stats.ber_ci).
     bit_errors_sq: Optional[float] = None
+    # Ensemble mode only: sum over fresh codes of (per-code total bit
+    # errors)^2 and the (uniform) trials-per-code cluster size.  Trials
+    # sharing a code are positively correlated; ber_ci uses this cluster
+    # second moment so the ensemble-mode interval is not anti-conservative.
+    code_bit_errors_sq: Optional[float] = None
+    trials_per_code: Optional[int] = None
     elapsed_seconds: float = 0.0
     timestamp: str = ""
     stopped_by: str = ""  # "num_tests" | "block_errors" | "wall_clock"

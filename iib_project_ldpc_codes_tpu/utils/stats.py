@@ -126,13 +126,33 @@ def ber_ci(result: SimulationResult, alpha: float = 0.05
     z = _norm_ppf(1 - alpha / 2)
     if result.bit_errors_sq is not None and trials > 1:
         s1 = float(result.bit_errors)
+        if s1 == 0.0:
+            # Zero observed bit errors says nothing with certainty: use the
+            # rule-of-three upper bound at block level (P(block error) <~
+            # 3/T at 95%) scaled by the worst per-block error fraction --
+            # the channel fraction when recorded, else a whole block.
+            max_frac = max(result.error_rate_per_iteration[0]
+                           if result.error_rate_per_iteration else 1.0, 1 / n)
+            return 0.0, 3.0 / trials * max_frac
         var_e = (float(result.bit_errors_sq) - s1 * s1 / trials) \
             / (trials - 1)
         var_e = max(var_e, 0.0)
         half = z * math.sqrt(var_e / trials) / n
+        # Ensemble mode: trials sharing a sampled code are positively
+        # correlated, so the iid interval above is anti-conservative.
+        # Recompute at cluster (per-code) granularity from the recorded
+        # cluster second moment and take the wider of the two (cluster
+        # variance >= iid variance in expectation under positive
+        # correlation; max() guards small-sample noise).
+        b = result.trials_per_code
+        if result.code_bit_errors_sq is not None and b and trials > b:
+            c = trials // b  # clusters (codes)
+            var_s = (float(result.code_bit_errors_sq) - s1 * s1 / c) \
+                / (c - 1)
+            half = max(half, z * math.sqrt(max(var_s, 0.0) / c) / (b * n))
         # never report an interval narrower than the count being +-1:
         # the normal approximation is meaningless below one error event
-        half = max(half, z / (n * trials) if s1 else 0.0)
+        half = max(half, z / (n * trials))
     else:
         # conservative fallback: per-block fraction variance <= p*max_frac
         max_frac = max(result.error_rate_per_iteration[0]

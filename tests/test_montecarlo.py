@@ -217,3 +217,43 @@ def test_checkpoint_ignored_on_seed_change(tmp_path):
     fresh = run_simulation(small_cfg(num_tests=512, batch=256, seed=99,
                                      checkpoint_path=ckpt), code=code)
     assert fresh.num_trials == 512  # restarted, not resumed
+
+
+def test_check_vma_passes():
+    """The ensemble chunk shard_map runs with the vma checker ON.
+
+    Pins down two jax 0.9.0 behaviours the samplers must work around
+    (models/ensemble._with_key_vma):
+
+      1. sort-derived index outputs (argsort, and therefore
+         jax.random.permutation) drop the operand's varying-manual-axes
+         type under shard_map;
+      2. a scan/fori_loop nested inside a while_loop body hard-errors on
+         the resulting carry vma mismatch instead of letting the while
+         fixpoint promote the carry.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(jax.devices()[:2])
+
+    # (1) the underlying jax bug, as a canary: if this starts preserving
+    # vma, the _with_key_vma re-tag (and this test) can be removed.
+    def probe(key):
+        k = jax.random.fold_in(key, jax.lax.axis_index(mesh.axis_names[0]))
+        bits = jax.random.bits(k, (16,), jnp.uint32)
+        assert jax.typeof(bits).vma, "bits should be varying"
+        assert not jax.typeof(jnp.argsort(bits)).vma, \
+            "jax fixed argsort vma propagation -- drop _with_key_vma"
+        return jax.lax.psum(jnp.sum(bits), mesh.axis_names[0])
+
+    jax.jit(jax.shard_map(probe, mesh=mesh, in_specs=P(), out_specs=P()))(
+        jax.random.key(0))
+
+    # (2) the production chunk kernels type-check with check_vma on
+    # (make_chunk_fn no longer passes check_vma=False) for both samplers.
+    for sampler in ("repair", "reject"):
+        cfg = small_cfg(code_mode="ensemble", num_tests=512, batch=512,
+                        sampler=sampler)
+        fn = make_chunk_fn(cfg, None, mesh)
+        stats = fn(jax.random.key(3))
+        assert int(stats.block_errors) >= 0

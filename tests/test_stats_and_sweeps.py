@@ -255,3 +255,57 @@ def test_compare_ber_verdict_on_simulation():
     assert v.consistent, str(v)
     # and a clearly-wrong expectation is rejected
     assert not compare_ber(r1, 2.0 * r1.bit_error_rate + 0.01).consistent
+
+
+def test_ber_ci_zero_errors_rule_of_three():
+    """Zero observed errors must not yield a zero-width certainty interval."""
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci, compare_ber
+
+    res = _fake_result([0] * 200, 1024)
+    lo, hi = ber_ci(res)
+    assert lo == 0.0
+    assert hi > 0.0
+    # rule-of-three flavour: upper bound shrinks ~1/T
+    res2 = _fake_result([0] * 2000, 1024)
+    assert ber_ci(res2)[1] < hi
+    assert ber_ci(res2)[1] == pytest.approx(hi / 10, rel=0.01)
+    # compare_ber no longer rejects a small nonzero expectation outright
+    assert compare_ber(res, hi / 2).consistent
+
+
+def test_cluster_ci_widens_under_per_code_correlation():
+    """Ensemble-mode CI uses the per-code cluster variance: with strongly
+    correlated trials within a code the clustered interval must be wider
+    than the iid per-trial interval would claim."""
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+
+    n, b, codes = 1024, 32, 60
+    rng = np.random.default_rng(5)
+    # bimodal ensemble: a "bad code" fails all 32 of its trials alike
+    bad = rng.random(codes) < 0.2
+    per_code = np.where(bad, 40, 0)             # per-trial errors, by code
+    e = np.repeat(per_code, b)                  # [codes * b] trial counts
+    res = _fake_result(e, n)
+    iid = ber_ci(res)
+    res.trials_per_code = b
+    s_c = per_code.astype(float) * b            # per-code cluster sums
+    res.code_bit_errors_sq = float((s_c ** 2).sum())
+    clustered = ber_ci(res)
+    assert clustered[1] - clustered[0] > 2.0 * (iid[1] - iid[0])
+
+
+def test_cluster_moment_recorded_by_engine():
+    """Ensemble runs record sum-of-squared per-code error totals; with one
+    code per 32-trial lane group the cluster moment is >= the per-trial one
+    and the result carries the cluster size."""
+    cfg = SimulationConfig(channel="BEC", channel_param=0.44, n=96, dv=3,
+                           dc=6, decoder="bp", iterations=20, num_tests=512,
+                           batch=512, max_block_errors=10**9, seed=9,
+                           code_mode="ensemble", codes_per_chunk=16)
+    res = run_simulation(cfg)
+    assert res.trials_per_code == 32
+    assert res.code_bit_errors_sq is not None
+    assert res.code_bit_errors_sq >= res.bit_errors_sq - 1e-6
+    # Cauchy-Schwarz sanity: sum s_c^2 >= (sum s_c)^2 / C
+    c = res.num_trials // res.trials_per_code
+    assert res.code_bit_errors_sq >= (res.bit_errors ** 2) / c - 1e-6

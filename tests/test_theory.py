@@ -235,3 +235,79 @@ def test_irregular_validation_errors():
         irregular_threshold([0.1, 0.9], [0, 0, 1.0])   # c0 != 0
     with pytest.raises(ValueError):
         irregular_threshold([0, 0.5, 0.4], [0, 0, 1.0])  # sum != 1
+
+
+def test_gallager_b_reduces_to_a():
+    """b = dv-1 IS Gallager-A: identical trajectory and threshold."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        gallager_a_density_evolution, gallager_a_threshold,
+        gallager_b_density_evolution, gallager_b_threshold)
+
+    a = gallager_a_density_evolution(0.03, 50, 3, 6)
+    b = gallager_b_density_evolution(0.03, 50, 3, 6, b=2)
+    assert b == pytest.approx(a, rel=1e-12)  # same recursion, float order
+    assert gallager_b_threshold(3, 6, 2) == pytest.approx(
+        gallager_a_threshold(3, 6), abs=1e-6)
+
+
+def test_gallager_b_thresholds_and_optimal_rule():
+    """Computed anchors for (4,8): b=3 beats b=2, the optimal switching
+    rule beats any fixed b, and (5,10)'s optimal rule shows the biggest
+    gain (early iterations want a lower flip threshold)."""
+    from iib_project_ldpc_codes_tpu.utils.theory import gallager_b_threshold
+
+    t2 = gallager_b_threshold(4, 8, 2)
+    t3 = gallager_b_threshold(4, 8, 3)
+    topt = gallager_b_threshold(4, 8)
+    assert t3 == pytest.approx(0.04757, abs=2e-4)
+    assert topt == pytest.approx(0.05165, abs=2e-4)
+    assert t2 < t3 < topt
+    for b in (2, 3, 4):
+        assert gallager_b_threshold(5, 10, b) <= \
+            gallager_b_threshold(5, 10) + 1e-9
+
+
+def test_gallager_b_de_monotone_below_threshold():
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        gallager_b_density_evolution, gallager_b_threshold)
+
+    thr = gallager_b_threshold(4, 8, 3)
+    traj = gallager_b_density_evolution(thr - 0.01, 300, 4, 8, b=3)
+    assert traj[-1] < 1e-9
+    stuck = gallager_b_density_evolution(thr + 0.01, 300, 4, 8, b=3)
+    assert stuck[-1] > 0.01
+
+
+def test_awgn_ga_threshold_anchors():
+    """Gaussian-approximation DE recovers the published GA thresholds:
+    sigma*(3,6) ~= 0.8747 and sigma*(4,8) ~= 0.8324 (Chung, Richardson &
+    Urbanke 2001) -- both ~= 0.88/0.83, computed here, not cited."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        awgn_threshold_sigma_ga)
+
+    assert awgn_threshold_sigma_ga(3, 6) == pytest.approx(0.8747, abs=2e-3)
+    assert awgn_threshold_sigma_ga(4, 8) == pytest.approx(0.8324, abs=2e-3)
+
+
+def test_awgn_ga_de_trajectory():
+    from iib_project_ldpc_codes_tpu.utils.theory import awgn_gaussian_de
+
+    below = awgn_gaussian_de(0.8, 100, 3, 6)
+    assert below[0] == pytest.approx(0.1056, abs=1e-3)  # Q(1/sigma)
+    assert below[-1] < 1e-12
+    assert all(b <= a + 1e-15 for a, b in zip(below, below[1:]))
+    above = awgn_gaussian_de(0.95, 100, 3, 6)
+    assert above[-1] > 0.01
+
+
+def test_awgn_population_de_brackets_exact_threshold():
+    """Sampled DE: decodes at sigma=0.85 (below the exact threshold
+    0.8790), stuck at sigma=0.92 (above) -- small-population smoke; the
+    full-population run recovering 0.879+-0.003 is recorded in
+    docs/VALIDATION.md."""
+    from iib_project_ldpc_codes_tpu.utils.theory import awgn_population_de
+
+    lo = awgn_population_de(0.85, 200, 3, 6, population=1 << 16, seed=3)
+    assert lo[-1] < 1e-4
+    hi = awgn_population_de(0.92, 200, 3, 6, population=1 << 16, seed=3)
+    assert hi[-1] > 0.02
