@@ -22,6 +22,8 @@ from __future__ import annotations
 import sys
 import time
 
+sys.path.insert(0, ".")  # run from the repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -164,12 +164,19 @@ def _posterior(code: LDPCCode, llr0, mcv, to_var_idx, acc_dtype):
 
 
 def _soft_iteration(code: LDPCCode, llr0, mcv, to_var_idx, method: str,
-                    alpha: float, beta: float, acc_dtype, quantised: bool):
+                    alpha: float, beta: float, acc_dtype, quantised: bool,
+                    chk_sock_mask=None):
     """One flooding round over the flat check-resident state.
 
     Returns (new flat mcv, posterior entering this round, syndrome-ok
     bool[B] of that posterior).  ``llr0`` is the channel LLR in the
     round's input representation (f32, or int8-quantised).
+
+    ``chk_sock_mask`` (irregular codes only): per-socket column masks
+    [m, 1] zeroing the state rows of phantom/padded check sockets each
+    round, so padded sockets always present a zero stored message -- the
+    extrinsic subtraction then sees the phantom variable's pinned-LARGE
+    posterior unreduced (exactly a "known 0" input).
     """
     dc, m = code.dc, code.m
     dtype = mcv.dtype
@@ -202,6 +209,9 @@ def _soft_iteration(code: LDPCCode, llr0, mcv, to_var_idx, method: str,
             new_rows = _check_update_minsum(rows, alpha, beta)
         else:
             new_rows = _check_update_sumproduct(rows)
+    if chk_sock_mask is not None:
+        new_rows = [jnp.where(chk_sock_mask[j], r, 0)
+                    for j, r in enumerate(new_rows)]
     new_mcv = jnp.concatenate([r.astype(dtype) for r in new_rows], axis=0)
     return new_mcv, post, sat
 
@@ -214,28 +224,14 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
     return ~jnp.any(parity, axis=0)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
-                                   "msg_dtype", "int8_scale"))
-def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
-                   method: str = "sumproduct", alpha: float = 1.0,
-                   beta: float = 0.0, msg_dtype=jnp.float32,
-                   int8_scale: float = 4.0) -> SoftBPResult:
-    """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
-    (positive favours bit 0; ``AWGN.llr`` output).
+def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
+                 int8_scale, to_var_idx, chk_sock_mask=None
+                 ) -> SoftBPResult:
+    """Shared decode loop for the regular and irregular wrappers.
 
-    Early exit when all trials satisfy every parity check or the iteration
-    budget runs out.  ``error_totals`` counts hard-decision errors against
-    the all-zero codeword after each round (index 0 = channel decisions).
-    The syndrome is read off the sign bits of the posterior rows each
-    round already gathers, so checking is free; convergence of the
-    round-``t`` posterior is observed at the top of round ``t+1``
-    (``iterations`` counts the check-update rounds actually executed --
-    at most one more than the round that converged).
-
-    ``msg_dtype`` sets the message precision: float32, bfloat16 (half the
-    gather traffic, f32 check-update math), or int8 -- the quantised
-    production min-sum (``method`` must be "minsum"; ``int8_scale`` LSBs
-    per LLR unit, int16 accumulation, posterior returned de-quantised).
+    ``code`` is any view exposing ``dv``/``dc``/``m``/``chk_to_var``;
+    ``llr`` may contain phantom rows (pinned-LARGE; they never count as
+    errors because their posterior stays positive).
     """
     llr = jnp.asarray(llr, jnp.float32)
     quantised = jnp.dtype(msg_dtype) == jnp.int8
@@ -244,7 +240,6 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     if quantised and (alpha != 1.0 or beta != 0.0):
         raise ValueError("int8 min-sum: saturation replaces alpha/beta "
                          "corrections")
-    to_var_idx = _soft_routing(code)
     if quantised:
         acc_dtype = jnp.int16
         llr0 = jnp.clip(jnp.round(llr * int8_scale), -_INT8_MAX,
@@ -270,7 +265,7 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
         mcv, errors, it, _ = carry
         mcv, post_prev, sat_prev = _soft_iteration(
             code, llr0, mcv, to_var_idx, method, alpha, beta, acc_dtype,
-            quantised)
+            quantised, chk_sock_mask)
         # post_prev / sat_prev describe the posterior *entering* this
         # round (after `it` check updates); record its error count.
         errors = errors.at[it].set(
@@ -294,3 +289,103 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     return SoftBPResult(hard=hard, posterior=post_f32,
                         satisfied=_syndrome_ok(code, hard),
                         error_totals=errors, iterations=it)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
+                                   "msg_dtype", "int8_scale"))
+def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
+                   method: str = "sumproduct", alpha: float = 1.0,
+                   beta: float = 0.0, msg_dtype=jnp.float32,
+                   int8_scale: float = 4.0) -> SoftBPResult:
+    """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
+    (positive favours bit 0; ``AWGN.llr`` output).
+
+    Early exit when all trials satisfy every parity check or the iteration
+    budget runs out.  ``error_totals`` counts hard-decision errors against
+    the all-zero codeword after each round (index 0 = channel decisions).
+    The syndrome is read off the sign bits of the posterior rows each
+    round already gathers, so checking is free; convergence of the
+    round-``t`` posterior is observed at the top of round ``t+1``
+    (``iterations`` counts the check-update rounds actually executed --
+    at most one more than the round that converged).
+
+    ``msg_dtype`` sets the message precision: float32, bfloat16 (half the
+    gather traffic, f32 check-update math), or int8 -- the quantised
+    production min-sum (``method`` must be "minsum"; ``int8_scale`` LSBs
+    per LLR unit, int16 accumulation, posterior returned de-quantised).
+    """
+    return _soft_decode(code, llr, max_iters, method, alpha, beta,
+                        msg_dtype, int8_scale, _soft_routing(code))
+
+
+# ---------------------------------------------------------------------------
+# Irregular codes: phantom-padded reuse of the same kernel.
+#
+# The phantom variable's channel LLR is pinned LARGE-positive ("known 0"):
+# its posterior row is gathered by padded check sockets, where the huge
+# magnitude leaves the extrinsic min / tanh-product of the real sockets
+# untouched.  Padded-socket state rows are masked to zero each round
+# (chk_sock_mask), so (a) the extrinsic subtraction at a padded socket
+# sees the full pinned posterior (exact even in int8: 127 - 0), and
+# (b) padded variable sockets, routed to the phantom check's zeroed rows,
+# gather nothing.
+# ---------------------------------------------------------------------------
+
+#: pinned channel LLR of the phantom variable (f32 path; the int8 path
+#: saturates it to +127).  Well above _LLR_CLIP so the clipped extrinsic
+#: input is exactly the clip ceiling, like any fully-known bit.
+_PHANTOM_LLR = 1.0e4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _SoftPhantomView:
+    """Duck-typed LDPCCode view of an irregular code for _soft_decode."""
+
+    chk_to_var: jax.Array   # int32[m+1, dc_max] (phantom var = n)
+    n: int = dataclasses.field(metadata=dict(static=True))   # n + 1
+    m: int = dataclasses.field(metadata=dict(static=True))   # m + 1
+    dv: int = dataclasses.field(metadata=dict(static=True))  # dv_max
+    dc: int = dataclasses.field(metadata=dict(static=True))  # dc_max
+
+
+def _soft_routing_irregular(code):
+    """(view, to_var_idx, chk_sock_mask) for an IrregularLDPCCode.
+
+    Flat state layout [dc_max * (m+1), B]: socket plane j occupies rows
+    j*(m+1)..j*(m+1)+m; padded variable sockets route to row m of plane 0
+    (a phantom-check row, masked to zero every round).
+    """
+    m_pad = code.m + 1
+    view = _SoftPhantomView(chk_to_var=code.chk_to_var, n=code.n + 1,
+                            m=m_pad, dv=code.dv_max, dc=code.dc_max)
+    valid = code.var_mask                        # bool[n+1, dv_max]
+    to_var_idx = []
+    for p in range(code.dv_max):
+        sock = code.var_to_sock[:, p]
+        c = sock // code.dc_max
+        j = sock % code.dc_max
+        to_var_idx.append(jnp.where(valid[:, p], j * m_pad + c,
+                                    jnp.int32(code.m)))
+    chk_sock_mask = [code.chk_mask[:, j:j + 1] for j in range(code.dc_max)]
+    return view, to_var_idx, chk_sock_mask
+
+
+@partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
+                                   "msg_dtype", "int8_scale"))
+def soft_bp_decode_irregular(code, llr: jax.Array, max_iters: int,
+                             method: str = "sumproduct", alpha: float = 1.0,
+                             beta: float = 0.0, msg_dtype=jnp.float32,
+                             int8_scale: float = 4.0) -> SoftBPResult:
+    """:func:`soft_bp_decode` for an :class:`..models.irregular
+    .IrregularLDPCCode`; identical semantics, [n, B] outputs."""
+    llr = jnp.asarray(llr, jnp.float32)
+    view, to_var_idx, chk_sock_mask = _soft_routing_irregular(code)
+    llr_pad = jnp.concatenate(
+        [llr, jnp.full((1, llr.shape[1]), _PHANTOM_LLR, llr.dtype)], axis=0)
+    res = _soft_decode(view, llr_pad, max_iters, method, alpha, beta,
+                       msg_dtype, int8_scale, to_var_idx, chk_sock_mask)
+    return SoftBPResult(hard=res.hard[:-1], posterior=res.posterior[:-1],
+                        satisfied=res.satisfied,
+                        error_totals=res.error_totals,
+                        iterations=res.iterations)

@@ -145,9 +145,10 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
                 iterations: int, channel: str, channel_param,
                 method: str, alpha: float = 1.0, beta: float = 0.0,
                 msg_dtype=jnp.float32) -> ChunkStats:
-    """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP."""
+    """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP
+    (regular LDPCCode or IrregularLDPCCode)."""
     from ..ops.channels import AWGN, BSC
-    from ..ops.soft_bp import soft_bp_decode
+    from ..ops.soft_bp import soft_bp_decode, soft_bp_decode_irregular
 
     zeros = jnp.zeros((n, batch), jnp.int32)
     if channel == "AWGN":
@@ -156,8 +157,10 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
     else:
         ch = BSC(channel_param)
         llr = ch.llr(ch.transmit(key, zeros))
-    res = soft_bp_decode(code, llr, iterations, method=method,
-                         alpha=alpha, beta=beta, msg_dtype=msg_dtype)
+    decode = (soft_bp_decode_irregular
+              if isinstance(code, IrregularLDPCCode) else soft_bp_decode)
+    res = decode(code, llr, iterations, method=method,
+                 alpha=alpha, beta=beta, msg_dtype=msg_dtype)
     return ChunkStats(
         error_totals=res.error_totals,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),

@@ -258,3 +258,73 @@ def test_irregular_beats_regular_mc_at_same_rate():
     # measured at these settings: BER 0.023 vs 0.108, FER 0.28 vs 0.42
     assert irr.bit_error_rate < 0.5 * reg.bit_error_rate
     assert irr.block_error_rate < reg.block_error_rate
+
+
+# ---------------------------------------------------------------------------
+# Soft-decision (AWGN/BSC) decoding of irregular codes
+# ---------------------------------------------------------------------------
+
+def test_soft_irregular_degenerate_matches_regular():
+    """On a (3,6)-regular degenerate spec, the irregular soft decoder and
+    the regular one agree (same graph; summation order may differ so the
+    comparison is tolerance-based)."""
+    from iib_project_ldpc_codes_tpu.models.code import code_from_dense
+    from iib_project_ldpc_codes_tpu.ops.channels import AWGN
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import (
+        soft_bp_decode, soft_bp_decode_irregular)
+
+    spec = IrregularEnsembleSpec.regular(96, 3, 6)
+    icode = spec.sample(jax.random.key(3))
+    reg = code_from_dense(dense_parity_check_irregular(icode))
+    ch = AWGN(0.7)
+    llr = ch.llr(ch.transmit(jax.random.key(1),
+                             jnp.zeros((96, 64), jnp.int32)))
+    for method in ("sumproduct", "minsum"):
+        ri = soft_bp_decode_irregular(icode, llr, 30, method=method)
+        rr = soft_bp_decode(reg, llr, 30, method=method)
+        assert (np.asarray(ri.hard) == np.asarray(rr.hard)).all()
+        assert (np.asarray(ri.satisfied) == np.asarray(rr.satisfied)).all()
+        # identical graph but different float summation order: borderline
+        # trials can take diverging trajectories, so compare posteriors by
+        # bulk quantile rather than elementwise
+        diff = np.abs(np.asarray(ri.posterior) - np.asarray(rr.posterior))
+        scale = np.abs(np.asarray(rr.posterior)) + 1.0
+        rel = diff / scale
+        assert np.median(rel) < 1e-6       # bulk identical
+        assert np.quantile(rel, 0.95) < 0.05  # tail: order-divergence only
+
+
+@pytest.mark.parametrize("method,dtype", [("sumproduct", "float32"),
+                                          ("minsum", "float32"),
+                                          ("minsum", "int8")])
+def test_soft_irregular_decodes_high_snr(method, dtype):
+    from iib_project_ldpc_codes_tpu.ops.channels import AWGN
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import (
+        soft_bp_decode_irregular)
+
+    spec = IrregularEnsembleSpec.from_lam_rho(240, LAM, RHO)
+    code = spec.sample(jax.random.key(7))
+    ch = AWGN(0.5)
+    llr = ch.llr(ch.transmit(jax.random.key(2),
+                             jnp.zeros((240, 64), jnp.int32)))
+    res = soft_bp_decode_irregular(code, llr, 40, method=method,
+                                   msg_dtype=jnp.dtype(dtype))
+    assert float(np.asarray(res.hard).mean()) < 0.01
+    assert float(np.asarray(res.satisfied).mean()) > 0.9
+    assert res.hard.shape == (240, 64)
+
+
+def test_soft_irregular_beats_regular_awgn():
+    """The irregular pair's AWGN advantage shows in simulation too: at a
+    sigma between the two GA thresholds, irregular BER < regular BER at
+    the same rate (MC through the engine)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    common = dict(channel="AWGN", channel_param=0.83, decoder="sumproduct",
+                  iterations=60, num_tests=1024, batch=512,
+                  max_block_errors=10**9, seed=29, code_mode="ensemble",
+                  n=1024)
+    reg = run_simulation(SimulationConfig(dv=3, dc=6, **common))
+    irr = run_simulation(SimulationConfig(lam=LAM, rho=RHO, **common))
+    assert irr.bit_error_rate < reg.bit_error_rate
