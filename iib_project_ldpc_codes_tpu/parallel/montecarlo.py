@@ -470,6 +470,12 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     _require_single_process("peeling")
     if code is None and cfg.code_mode == "fixed":
         raise ValueError("fixed code_mode requires a code")
+    irr_spec = None
+    if cfg.irregular:
+        from ..models.irregular import IrregularEnsembleSpec
+
+        irr_spec = IrregularEnsembleSpec.from_lam_rho(cfg.n, cfg.lam,
+                                                      cfg.rho)
     key = jax.random.key(cfg.seed)
     start = time.time()
     trials = chunk_idx = 0
@@ -481,11 +487,16 @@ def _run_peeling(cfg: SimulationConfig, code: Optional[LDPCCode]
     while trials < cfg.num_tests:
         ck = jax.random.fold_in(key, chunk_idx)
         k_noise, k_code = jax.random.split(ck)
-        chunk_code = code if code is not None else _sample_code(
-            k_code, cfg.n, cfg.dv, cfg.dc, cfg.sampler)
+        if code is not None:
+            chunk_code = code
+        elif irr_spec is not None:
+            chunk_code = irr_spec.sample(k_code, cfg.sampler)
+        else:
+            chunk_code = _sample_code(k_code, cfg.n, cfg.dv, cfg.dc,
+                                      cfg.sampler)
         erased = bernoulli_packed(k_noise, cfg.channel_param,
                                   (cfg.n, words))
-        res = bp_decode_packed_allzero(chunk_code, erased, cfg.n)
+        res = _allzero_decode(chunk_code, erased, cfg.n)
         block_errors += int(jnp.sum(res.failed))
         per_trial = np.asarray(res.bit_errors, np.int64)
         bit_errors += int(per_trial.sum())

@@ -137,14 +137,14 @@ class SimulationConfig:
         if (self.lam is None) != (self.rho is None):
             raise ValueError("lam and rho must be given together")
         if self.lam is not None:
-            irregular_ok = {("BEC", "bp"), ("BSC", "sumproduct"),
-                            ("BSC", "minsum"), ("AWGN", "sumproduct"),
-                            ("AWGN", "minsum")}
+            irregular_ok = {("BEC", "bp"), ("BEC", "peeling"),
+                            ("BSC", "sumproduct"), ("BSC", "minsum"),
+                            ("AWGN", "sumproduct"), ("AWGN", "minsum")}
             if (self.channel, self.decoder) not in irregular_ok:
                 raise ValueError(
-                    "irregular (lam, rho) ensembles support BEC+bp and "
-                    "the soft decoders (sumproduct/minsum); got "
-                    f"{(self.channel, self.decoder)}")
+                    "irregular (lam, rho) ensembles support BEC bp/"
+                    "peeling and the soft decoders (sumproduct/minsum); "
+                    f"got {(self.channel, self.decoder)}")
         elif (self.n * self.dv) % self.dc:
             raise ValueError("n*dv must be divisible by dc")
         if self.code_mode == "ensemble":

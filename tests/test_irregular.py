@@ -328,3 +328,47 @@ def test_soft_irregular_beats_regular_awgn():
     reg = run_simulation(SimulationConfig(dv=3, dc=6, **common))
     irr = run_simulation(SimulationConfig(lam=LAM, rho=RHO, **common))
     assert irr.bit_error_rate < reg.bit_error_rate
+
+
+def test_irregular_peeling_statistics():
+    """decoder="peeling" works for irregular ensembles (BP/peeling share
+    the BEC fixed point, so the stats ride the packed irregular kernel)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    common = dict(channel="BEC", channel_param=0.3, n=256, iterations=40,
+                  num_tests=2048, batch=256, max_block_errors=10**9,
+                  seed=3, code_mode="ensemble", lam=LAM, rho=RHO)
+    peel = run_simulation(SimulationConfig(decoder="peeling", **common))
+    bp = run_simulation(SimulationConfig(decoder="bp", **common))
+    # different drivers draw different noise keys, so the comparison is
+    # statistical: same ensemble, same fixed point => same FER within MC
+    # noise (SE ~ sqrt(p(1-p)/T) ~ 0.008 at p~0.15, T=2048)
+    assert abs(peel.block_error_rate - bp.block_error_rate) < 0.05
+    assert peel.num_trials == bp.num_trials == 2048
+
+
+def test_irregular_expurgation_removes_floor():
+    """The lambda2>0 block-error floor is small-stopping-set events;
+    expurgating them (reference C9 semantics) collapses the FER far
+    below threshold while barely moving trials near it."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    def run(expurgation):
+        cfg = SimulationConfig(channel="BEC", channel_param=0.30, n=1024,
+                               lam=LAM, rho=RHO, decoder="bp",
+                               iterations=60, num_tests=2048, batch=512,
+                               max_block_errors=10**9, seed=41,
+                               code_mode="ensemble",
+                               expurgation=expurgation)
+        return run_simulation(cfg)
+
+    plain = run(None)
+    exp = run(8)  # drop trials whose residual stopping set is <= 8 bits
+    assert plain.block_error_rate > 0.05          # the floor is there
+    assert exp.excluded_trials > 0
+    # expurgated FER (reference semantics: excluded trials still count in
+    # the denominator, parallel_simulator_expurgated.py:238-243)
+    # collapses by >= 10x: the floor is small-stopping-set events
+    assert exp.block_error_rate < 0.1 * plain.block_error_rate
