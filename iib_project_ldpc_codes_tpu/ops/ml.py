@@ -79,16 +79,33 @@ def gf2_row_reduce(aug: np.ndarray, num_cols: int
     return aug, pivots
 
 
+def _dense_of(code) -> np.ndarray:
+    """Dense H for either code family (regular or irregular container)."""
+    if hasattr(code, "dv_max"):
+        from ..models.irregular import dense_parity_check_irregular
+
+        return dense_parity_check_irregular(code)
+    return dense_parity_check(code)
+
+
+def _real_check_rows(code) -> np.ndarray:
+    """chk_to_var rows for the native kernel: the phantom row is dropped
+    for irregular codes; padded entries (== n) are skipped by the kernel
+    itself (native/gf2.c ml_decode_trials rejects v outside [0, n))."""
+    chk = np.asarray(code.chk_to_var)
+    return chk[:-1] if hasattr(code, "dv_max") else chk
+
+
 def ml_decode(code: LDPCCode, channel_output: np.ndarray,
               h: np.ndarray | None = None) -> np.ndarray:
     """Optimal per-bit BEC decode of one word in the {0,1,2} format.
 
     Trivial-case behaviour matches the reference: 0 erasures or more
     erasures than parity checks -> return the input unchanged
-    (parallel_simulator.py:66-69).
+    (parallel_simulator.py:66-69).  Accepts regular and irregular codes.
     """
     if h is None:
-        h = dense_parity_check(code)
+        h = _dense_of(code)
     return _ml_decode_dense(np.asarray(h, bool), channel_output)
 
 
@@ -133,14 +150,17 @@ def _ml_decode_dense(h: np.ndarray, channel_output: np.ndarray
 
 def ml_decode_batch(code: LDPCCode, channel_outputs: np.ndarray
                     ) -> np.ndarray:
-    """Batch of {0,1,2} words -> batched ML decode (one native call)."""
+    """Batch of {0,1,2} words -> batched ML decode (one native call).
+
+    Accepts regular and irregular codes (the native kernel skips the
+    irregular container's phantom-padding entries)."""
     from ..native import ml_decode_trials_native
 
     rx = np.asarray(channel_outputs, np.uint8)
-    native = ml_decode_trials_native(np.asarray(code.chk_to_var), code.n, rx)
+    native = ml_decode_trials_native(_real_check_rows(code), code.n, rx)
     if native is not None:
         return native.astype(int)
-    h = dense_parity_check(code)
+    h = _dense_of(code)
     return np.stack([ml_decode(code, r, h) for r in channel_outputs])
 
 
@@ -148,8 +168,10 @@ def ml_decode_batch_ensemble(chk_to_var: np.ndarray, n: int,
                              channel_outputs: np.ndarray) -> np.ndarray:
     """Per-trial codes: ``chk_to_var`` int32[trials, m, dc], one native call.
 
-    Falls back to a per-trial Python path (building each dense H on the
-    fly) when the native library is unavailable.
+    Entries outside [0, n) (the irregular container's phantom padding)
+    denote absent sockets.  Falls back to a per-trial Python path
+    (building each dense H on the fly) when the native library is
+    unavailable.
     """
     from ..native import ml_decode_trials_native
 
@@ -159,10 +181,13 @@ def ml_decode_batch_ensemble(chk_to_var: np.ndarray, n: int,
     if native is not None:
         return native.astype(int)
     trials, m, dc = chk.shape
+    rows = np.repeat(np.arange(m), dc)
     out = []
     for t in range(trials):
         h = np.zeros((m, n), bool)
-        h[np.arange(m)[:, None], chk[t]] = True
+        cols = chk[t].reshape(-1)
+        real = (cols >= 0) & (cols < n)
+        h[rows[real], cols[real]] = True
         out.append(_ml_decode_dense(h, rx[t]))
     return np.stack(out)
 
@@ -181,7 +206,7 @@ def ml_block_success(code: LDPCCode, erasure_mask: np.ndarray,
     if e > code.m:
         return False
     if h is None:
-        h = dense_parity_check(code)
+        h = _dense_of(code)
     packed = _pack_rows(h[:, erased])
     from ..native import gf2_rank_native
 

@@ -360,12 +360,19 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     """
     from ..models.ensemble import sample_codes
     from ..ops.bitops import pack_bits
-    from ..ops.erasure_bp import bp_decode
+    from ..ops.erasure_bp import (bp_decode, bp_decode_irregular,
+                                  bp_decode_packed_irregular)
     from ..ops.ml import ml_decode_batch, ml_decode_batch_ensemble
 
     _require_single_process("ml/both")
     run_bp = cfg.decoder == "both"
     ensemble = cfg.code_mode != "fixed"
+    irr_spec = None
+    if cfg.irregular:
+        from ..models.irregular import IrregularEnsembleSpec
+
+        irr_spec = IrregularEnsembleSpec.from_lam_rho(cfg.n, cfg.lam,
+                                                      cfg.rho)
     key = jax.random.key(cfg.seed)
     start = time.time()
     trials = chunk_idx = 0
@@ -380,8 +387,9 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     if run_bp and ensemble:
         # per-trial fresh codes: vmap the naive decoder over the stacked
         # code pytree (one dispatch per chunk instead of `batch`)
+        bp_oracle = bp_decode_irregular if irr_spec else bp_decode
         bp_errs_vmapped = jax.jit(jax.vmap(
-            lambda c, rx: bp_decode(c, rx, cfg.iterations)[1]))
+            lambda c, rx: bp_oracle(c, rx, cfg.iterations)[1]))
 
     while trials < cfg.num_tests:
         ck = jax.random.fold_in(key, chunk_idx)
@@ -391,10 +399,17 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
         rx = np.where(masks, 2, 0).astype(np.uint8)        # [batch, n]
 
         if ensemble:
-            codes = sample_codes(k_code, batch, cfg.n, cfg.dv, cfg.dc,
-                                 cfg.sampler)               # batched pytree
-            dec = ml_decode_batch_ensemble(np.asarray(codes.chk_to_var),
-                                           cfg.n, rx)
+            if irr_spec is not None:
+                codes = spec_batch = irr_spec.sample_batch(
+                    k_code, batch, cfg.sampler)             # batched pytree
+                chk = np.asarray(spec_batch.chk_to_var)[:, :-1]  # drop
+                # the phantom row; padding entries (== n) are skipped by
+                # the kernel (ops/ml.ml_decode_batch_ensemble)
+            else:
+                codes = sample_codes(k_code, batch, cfg.n, cfg.dv, cfg.dc,
+                                     cfg.sampler)           # batched pytree
+                chk = np.asarray(codes.chk_to_var)
+            dec = ml_decode_batch_ensemble(chk, cfg.n, rx)
         else:
             dec = ml_decode_batch(code, rx)
 
@@ -406,7 +421,9 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
             if not ensemble:
                 erased = pack_bits(jnp.asarray(masks.T))
                 tx = jnp.zeros_like(erased)
-                res = bp_decode_packed(code, erased, tx, cfg.iterations)
+                packed_bp = (bp_decode_packed_irregular if irr_spec
+                             else bp_decode_packed)
+                res = packed_bp(code, erased, tx, cfg.iterations)
                 error_totals += np.asarray(res.error_totals, np.int64)
                 block_errors += int(jnp.sum(res.failed))
                 per_trial = np.asarray(res.bit_errors, np.int64)

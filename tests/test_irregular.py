@@ -372,3 +372,99 @@ def test_irregular_expurgation_removes_floor():
     # the denominator, parallel_simulator_expurgated.py:238-243)
     # collapses by >= 10x: the floor is small-stopping-set events
     assert exp.block_error_rate < 0.1 * plain.block_error_rate
+
+
+# ---------------------------------------------------------------------------
+# ML (optimal) decoding of irregular codes
+# ---------------------------------------------------------------------------
+
+def brute_force_ml(h, rx):
+    """Exact per-bit BEC marginalisation by enumerating erased patterns."""
+    h = np.asarray(h, bool)
+    rx = np.asarray(rx, int)
+    erased = np.nonzero(rx == 2)[0]
+    known = rx.copy()
+    known[erased] = 0
+    sols = []
+    for bits in range(1 << len(erased)):
+        cand = known.copy()
+        for i, v in enumerate(erased):
+            cand[v] = (bits >> i) & 1
+        if not ((h @ cand) % 2).any():
+            sols.append(cand)
+    sols = np.stack(sols)
+    out = rx.copy()
+    for v in erased:
+        vals = set(sols[:, np.nonzero(np.arange(len(rx)) == v)[0][0]]
+                   .tolist())
+        out[v] = vals.pop() if len(vals) == 1 else 2
+    return out
+
+
+def test_irregular_ml_matches_brute_force():
+    from iib_project_ldpc_codes_tpu.ops.ml import ml_decode
+
+    spec = IrregularEnsembleSpec.from_lam_rho(24, LAM, RHO)
+    code = spec.sample(jax.random.key(1))
+    h = dense_parity_check_irregular(code)
+    rng = np.random.default_rng(5)
+    checked = 0
+    for _ in range(30):
+        rx = np.where(rng.random(24) < 0.35, 2, 0)
+        if (rx == 2).sum() > code.m:
+            continue  # reference bails at e > m (parallel_simulator.py:66)
+        got = ml_decode(code, rx)
+        want = brute_force_ml(h, rx)
+        assert (got == want).all()
+        checked += 1
+    assert checked >= 15
+
+
+def test_irregular_ml_batch_paths_agree():
+    """Native batched path == per-word dense path on irregular codes."""
+    from iib_project_ldpc_codes_tpu.ops.ml import ml_decode, ml_decode_batch
+
+    spec = IrregularEnsembleSpec.from_lam_rho(96, LAM, RHO)
+    code = spec.sample(jax.random.key(2))
+    h = dense_parity_check_irregular(code)
+    rng = np.random.default_rng(9)
+    rx = np.where(rng.random((32, 96)) < 0.4, 2, 0).astype(np.uint8)
+    batch = ml_decode_batch(code, rx)
+    for t in range(32):
+        assert (batch[t] == ml_decode(code, rx[t], h)).all()
+
+
+def test_irregular_both_mode_ml_dominates_bp():
+    """decoder="both" on the irregular ensemble: ML and BP see the same
+    transmissions, and ML lower-bounds BP (reference mode-2 semantics)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.42, n=128,
+                           lam=LAM, rho=RHO, decoder="both",
+                           iterations=40, num_tests=512, batch=512,
+                           max_block_errors=10**9, seed=11,
+                           code_mode="ensemble")
+    res = run_simulation(cfg)
+    assert res.num_trials == 512
+    assert res.optimal_block_error_rate <= res.block_error_rate + 1e-9
+    assert res.optimal_bit_error_rate <= res.bit_error_rate + 1e-9
+    # the lambda2 floor hits ML too (stopping sets contain codewords /
+    # rank deficiencies), but BP must also see every ML failure's pattern
+    assert res.optimal_block_errors > 0  # small-code floor is visible
+
+
+def test_irregular_both_mode_fixed_code():
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.35, n=128,
+                           lam=LAM, rho=RHO, decoder="both",
+                           iterations=40, num_tests=256, batch=256,
+                           max_block_errors=10**9, seed=12,
+                           code_mode="fixed", code_number=3)
+    code = code_for_config(cfg)
+    res = run_simulation(cfg, code=code)
+    assert res.num_trials == 256
+    assert res.optimal_block_error_rate <= res.block_error_rate + 1e-9
