@@ -22,12 +22,17 @@ from .results import SimulationResult, load_result, save_result
 
 #: config fields that must agree for shards to be mergeable
 MERGE_KEYS = ("channel", "channel_param", "n", "dv", "dc", "decoder",
-              "iterations", "code_mode", "code_number", "expurgation")
+              "iterations", "code_mode", "code_number", "expurgation",
+              "lam", "rho")
 
 
 def merge_key(result: SimulationResult) -> Tuple:
     cfg = result.config
-    return tuple(getattr(cfg, k) for k in MERGE_KEYS)
+    vals = []
+    for k in MERGE_KEYS:
+        v = getattr(cfg, k)
+        vals.append(tuple(v) if isinstance(v, list) else v)
+    return tuple(vals)
 
 
 def combine_results(results: Sequence[SimulationResult]) -> SimulationResult:
@@ -65,6 +70,18 @@ def combine_results(results: Sequence[SimulationResult]) -> SimulationResult:
     opt_bit = sum(r.optimal_bit_errors or 0 for r in results) \
         if has_opt else None
 
+    # second moments are sums over trials/codes: exactly mergeable when
+    # every shard carries them (and, for the cluster moment, the cluster
+    # size agrees)
+    sq = (sum(r.bit_errors_sq for r in results)
+          if all(r.bit_errors_sq is not None for r in results) else None)
+    tpcs = {r.trials_per_code for r in results}
+    tpc = tpcs.pop() if len(tpcs) == 1 else None
+    code_sq = (sum(r.code_bit_errors_sq for r in results)
+               if tpc is not None
+               and all(r.code_bit_errors_sq is not None for r in results)
+               else None)
+
     return SimulationResult(
         config=cfg,
         num_trials=trials,
@@ -81,6 +98,9 @@ def combine_results(results: Sequence[SimulationResult]) -> SimulationResult:
         error_counts_per_iteration=(
             counts.tolist() if counts is not None else None),
         excluded_trials=excluded,
+        bit_errors_sq=sq,
+        code_bit_errors_sq=code_sq,
+        trials_per_code=tpc,
         elapsed_seconds=sum(r.elapsed_seconds for r in results),
         timestamp=max(r.timestamp for r in results),
         stopped_by="combined",

@@ -75,7 +75,8 @@ class SimulationResult:
 
 def encode_filename(result: SimulationResult, extension: str = ".json") -> str:
     cfg = result.config
-    parts = ["regular_code"]
+    irregular = getattr(cfg, "lam", None) is not None
+    parts = ["irregular_code" if irregular else "regular_code"]
     if cfg.expurgation is not None:
         parts[0] += f"_expurgated={cfg.expurgation}"
     if cfg.code_mode == "fixed":
@@ -83,8 +84,14 @@ def encode_filename(result: SimulationResult, extension: str = ".json") -> str:
     parts.append(f"{cfg.channel}={cfg.channel_param}")
     parts.append(f"n={cfg.n}")
     parts.append(f"k={cfg.k}")
-    parts.append(f"dv={cfg.dv}")
-    parts.append(f"dc={cfg.dc}")
+    if irregular:
+        # degree distributions live in the JSON config; the filename
+        # carries the maximum degrees for human scanning
+        parts.append(f"dvmax={len(cfg.lam)}")
+        parts.append(f"dcmax={len(cfg.rho)}")
+    else:
+        parts.append(f"dv={cfg.dv}")
+        parts.append(f"dc={cfg.dc}")
     if result.config.decoder in ("bp", "both"):
         parts.append(f"it={cfg.iterations}")
     parts.append(f"num={result.num_trials}")

@@ -468,3 +468,41 @@ def test_irregular_both_mode_fixed_code():
     res = run_simulation(cfg, code=code)
     assert res.num_trials == 256
     assert res.optimal_block_error_rate <= res.block_error_rate + 1e-9
+
+
+def test_irregular_results_roundtrip_and_combine(tmp_path):
+    """Filename codec, JSON round-trip, and exact shard combination work
+    for irregular results (incl. the cluster second moments)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.combine import combine_results
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.results import (encode_filename,
+                                                          load_result,
+                                                          save_result)
+
+    def shard(seed):
+        cfg = SimulationConfig(channel="BEC", channel_param=0.34, n=256,
+                               lam=LAM, rho=RHO, decoder="bp",
+                               iterations=30, num_tests=256, batch=256,
+                               max_block_errors=10**9, seed=seed,
+                               code_mode="ensemble",
+                               output_dir=str(tmp_path))
+        return run_simulation(cfg)
+
+    a, b = shard(1), shard(2)
+    name = encode_filename(a)
+    assert name.startswith("irregular_code")
+    assert "dvmax=4" in name and "dcmax=6" in name
+    path = save_result(a)
+    back = load_result(path)
+    assert back.config.lam == a.config.lam
+    assert back.bit_errors == a.bit_errors
+
+    merged = combine_results([a, b])
+    assert merged.num_trials == 512
+    assert merged.bit_errors == a.bit_errors + b.bit_errors
+    assert merged.bit_errors_sq == pytest.approx(
+        a.bit_errors_sq + b.bit_errors_sq)
+    assert merged.code_bit_errors_sq == pytest.approx(
+        a.code_bit_errors_sq + b.code_bit_errors_sq)
+    assert merged.trials_per_code == a.trials_per_code
