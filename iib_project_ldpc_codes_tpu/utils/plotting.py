@@ -196,3 +196,44 @@ def plot_degree_distributions(res, bar_width: float = 0.35):
     fig.suptitle(f"({res.dv},{res.dc}) n={res.n} eps={res.erasure_prob}")
     fig.tight_layout()
     return fig
+
+
+def plot_irregular_vs_regular(irregular_results: Sequence[SimulationResult],
+                              regular_results: Sequence[SimulationResult],
+                              metric: str = "bit",
+                              mark_thresholds: bool = True):
+    """Irregular-vs-regular BER/FER comparison at a common rate, with the
+    computed BP thresholds marked (capability extension of the
+    tools/plotting.py figure set; the quantity that shows the irregular
+    gain is the *bit* error rate -- lambda2 > 0 ensembles carry a
+    finite-n block-error floor from O(1) stopping sets)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 5))
+
+    def curve(rs, label):
+        rs = sorted(rs, key=lambda r: r.config.channel_param)
+        eps = [r.config.channel_param for r in rs]
+        ys = [r.bit_error_rate if metric == "bit" else r.block_error_rate
+              for r in rs]
+        ax.plot(eps, ys, "o-", label=label)
+        return rs
+
+    irr = curve(irregular_results, "irregular")
+    reg = curve(regular_results, "regular")
+    if mark_thresholds:
+        if irr and irr[0].config.lam is not None:
+            thr = theory.irregular_threshold(irr[0].config.lam,
+                                             irr[0].config.rho, 1e-6)
+            ax.axvline(thr, ls="--", color="C0", alpha=0.6,
+                       label=f"irregular eps*={thr:.4f}")
+        if reg:
+            thr = theory.calc_threshold(reg[0].config.dv,
+                                        reg[0].config.dc)
+            ax.axvline(thr, ls="--", color="C1", alpha=0.6,
+                       label=f"regular eps*={thr:.4f}")
+    ax.set_yscale("log")
+    ax.set_xlabel("erasure probability")
+    ax.set_ylabel(f"{metric}-error rate")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    return fig

@@ -506,3 +506,25 @@ def test_irregular_results_roundtrip_and_combine(tmp_path):
     assert merged.code_bit_errors_sq == pytest.approx(
         a.code_bit_errors_sq + b.code_bit_errors_sq)
     assert merged.trials_per_code == a.trials_per_code
+
+
+def test_plot_irregular_vs_regular_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.plotting import (
+        plot_irregular_vs_regular)
+
+    def run(eps, **kw):
+        cfg = SimulationConfig(channel="BEC", channel_param=eps, n=128,
+                               decoder="bp", iterations=20, num_tests=128,
+                               batch=128, max_block_errors=10**9, seed=1,
+                               code_mode="ensemble", **kw)
+        return run_simulation(cfg)
+
+    irr = [run(e, lam=LAM, rho=RHO) for e in (0.35, 0.45)]
+    reg = [run(e, dv=3, dc=6) for e in (0.35, 0.45)]
+    fig = plot_irregular_vs_regular(irr, reg)
+    fig.savefig(tmp_path / "irr_vs_reg.png")
