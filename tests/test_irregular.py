@@ -528,3 +528,37 @@ def test_plot_irregular_vs_regular_smoke(tmp_path):
     reg = [run(e, dv=3, dc=6) for e in (0.35, 0.45)]
     fig = plot_irregular_vs_regular(irr, reg)
     fig.savefig(tmp_path / "irr_vs_reg.png")
+
+
+def test_sharded_irregular_counters_exact_sum():
+    """Mesh-sharded irregular ensemble chunks psum to exactly the sum of
+    the equivalent per-device single-device chunks (the same identity the
+    regular path guarantees)."""
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import make_chunk_fn
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    def cfg(batch, codes):
+        return SimulationConfig(channel="BEC", channel_param=0.42, n=96,
+                                lam=LAM, rho=RHO, decoder="bp",
+                                iterations=30, num_tests=512, batch=batch,
+                                codes_per_chunk=codes,
+                                max_block_errors=10**9, seed=7,
+                                code_mode="ensemble")
+
+    mesh = make_mesh()
+    n_dev = mesh.size
+    key = jax.random.key(5)
+    sharded = jax.device_get(make_chunk_fn(cfg(512, 16), None, mesh)(key))
+    single_fn = make_chunk_fn(cfg(512 // n_dev, 16 // n_dev), None, None)
+    parts = [jax.device_get(single_fn(jax.random.fold_in(key, d)))
+             for d in range(n_dev)]
+    assert int(sharded.block_errors) == sum(
+        int(p.block_errors) for p in parts)
+    assert int(sharded.bit_errors) == sum(int(p.bit_errors) for p in parts)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.error_totals, np.int64),
+        np.sum([np.asarray(p.error_totals, np.int64) for p in parts],
+               axis=0))
+    assert float(sharded.code_bit_errors_sq) == pytest.approx(
+        sum(float(p.code_bit_errors_sq) for p in parts))
