@@ -37,12 +37,6 @@ MAX_REJECT_TRIES = 10_000  # reference cap, random_code_generator.c:26-28
 MAX_REPAIR_PASSES = 1_000
 
 
-def _row_has_duplicates(chk_to_var: jax.Array) -> jax.Array:
-    """bool[m]: does any check socket repeat a variable within its row?"""
-    s = jnp.sort(chk_to_var, axis=1)
-    return jnp.any(s[:, 1:] == s[:, :-1], axis=1)
-
-
 def _perm_to_checks(perm: jax.Array, dv: int, dc: int) -> jax.Array:
     """Socket permutation -> check->variable table (configuration model)."""
     return (perm // dv).reshape(-1, dc).astype(jnp.int32)
@@ -64,77 +58,86 @@ def _with_key_vma(x: jax.Array, key: jax.Array) -> jax.Array:
     return x + zero.astype(x.dtype)
 
 
-def _sample_reject(key: jax.Array, n: int, dv: int, dc: int) -> jax.Array:
-    """Full-permutation rejection sampling (exact reference semantics)."""
+def match_until_simple(key: jax.Array, E: int, draw_perm, dup_info,
+                       method: str) -> jax.Array:
+    """Configuration-model matching loop, shared by the regular and
+    irregular samplers (models/irregular.py).
 
-    def draw(key):
-        key, sub = jax.random.split(key)
-        perm = _with_key_vma(jax.random.permutation(sub, n * dv), sub)
-        return key, _perm_to_checks(perm, dv, dc)
+    ``draw_perm(subkey) -> perm`` draws a fresh uniform (vma-re-tagged)
+    permutation of [0, E); ``dup_info(perm) -> (any_dup, first_socket)``
+    reports whether any check row repeats a variable and the flat
+    check-socket index of the first offender.  ``method``:
 
-    def cond(carry):
-        _, chk, tries = carry
-        return jnp.logical_and(jnp.any(_row_has_duplicates(chk)),
-                               tries < MAX_REJECT_TRIES)
+      * ``"reject"`` -- resample the whole permutation until simple (the
+        reference's rule, random_code_generator.c:39-47, capped at
+        MAX_REJECT_TRIES);
+      * ``"repair"`` -- swap the first duplicated socket's permutation
+        entry with a uniformly random partner and rescan, one swap per
+        pass.  Swaps preserve the permutation property; the expected
+        duplicate count is ~ (dv-1)(dc-1)/2 regardless of n, so the
+        expected pass count is O(1).
 
-    def body(carry):
-        key, _, tries = carry
-        key, chk = draw(key)
-        return key, chk, tries + 1
-
-    key, chk0 = draw(key)
-    _, chk, _ = jax.lax.while_loop(cond, body, (key, chk0, jnp.int32(0)))
-    return chk
-
-
-def _sample_repair(key: jax.Array, n: int, dv: int, dc: int) -> jax.Array:
-    """Permutation sampling with duplicate-socket repair swaps.
-
-    Each pass: find the first check-row socket that duplicates an earlier
-    socket of its row and swap its permutation entry with a uniformly random
-    socket anywhere in the sequence.  Swaps preserve the permutation
-    property; passes repeat until every row is simple.  The expected
-    duplicate count is ~ (dv-1)(dc-1)/2 regardless of n, so the expected
-    pass count is O(1).
-
-    One swap per pass (no inner loop): every swap sees a fresh duplicate
-    scan, and -- structurally -- a single ``while_loop`` whose state all
-    flows through the carry is the formulation jax 0.9.0's shard_map
-    varying-manual-axes checker accepts.  A scan/fori_loop nested inside a
-    while_loop body fails that checker even when correctly replicated
-    (the while fixpoint starts carries as unvarying and the inner loop
-    hard-errors on the input/output vma mismatch before the fixpoint can
-    promote them -- see tests/test_montecarlo.py::test_check_vma_passes).
+    Structurally: single ``while_loop``s whose state all flows through
+    the carry -- the formulation jax 0.9.0's shard_map varying-manual-
+    axes checker accepts.  A scan/fori_loop nested inside a while_loop
+    body fails that checker even when correctly replicated (the while
+    fixpoint starts carries as unvarying and the inner loop hard-errors
+    on the input/output vma mismatch before the fixpoint can promote
+    them -- see tests/test_montecarlo.py::test_check_vma_passes).
     """
-    E = n * dv
     key, sub = jax.random.split(key)
-    perm = _with_key_vma(jax.random.permutation(sub, E), sub)
+    perm = draw_perm(sub)
 
-    def dup_positions(perm):
+    if method == "reject":
+        def cond(carry):
+            perm, key, tries = carry
+            return jnp.logical_and(dup_info(perm)[0],
+                                   tries < MAX_REJECT_TRIES)
+
+        def body(carry):
+            perm, key, tries = carry
+            key, sub = jax.random.split(key)
+            return draw_perm(sub), key, tries + 1
+    elif method == "repair":
+        def cond(carry):
+            perm, key, passes = carry
+            return jnp.logical_and(dup_info(perm)[0],
+                                   passes < MAX_REPAIR_PASSES)
+
+        def body(carry):
+            perm, key, passes = carry
+            # cond guarantees a duplicate exists; fix the first offender
+            s = dup_info(perm)[1]
+            key, k_pick = jax.random.split(key)
+            j = jax.random.randint(k_pick, (), 0, E)
+            ps, pj = perm[s], perm[j]
+            perm = perm.at[s].set(pj).at[j].set(ps)
+            return perm, key, passes + 1
+    else:
+        raise ValueError(f"unknown sampling method {method!r}")
+
+    perm, _, _ = jax.lax.while_loop(cond, body, (perm, key, jnp.int32(0)))
+    return perm
+
+
+def _regular_matching(key: jax.Array, n: int, dv: int, dc: int,
+                      method: str) -> jax.Array:
+    """(dv,dc)-regular matching via :func:`match_until_simple`."""
+    E = n * dv
+
+    def draw_perm(sub):
+        return _with_key_vma(jax.random.permutation(sub, E), sub)
+
+    def dup_info(perm):
         # bool[E] in check-socket layout: socket j of row i duplicates an
         # earlier socket of the same row.
         chk = _perm_to_checks(perm, dv, dc)
         eq = chk[:, :, None] == chk[:, None, :]  # [m, dc, dc]
         tri = jnp.tril(jnp.ones((dc, dc), bool), k=-1)
-        return jnp.any(eq & tri, axis=2).reshape(-1)  # [E]
+        dup = jnp.any(eq & tri, axis=2).reshape(-1)  # [E]
+        return jnp.any(dup), jnp.argmax(dup).astype(jnp.int32)
 
-    def cond(carry):
-        perm, key, passes = carry
-        return jnp.logical_and(jnp.any(dup_positions(perm)),
-                               passes < MAX_REPAIR_PASSES)
-
-    def body(carry):
-        perm, key, passes = carry
-        # cond guarantees a duplicate exists; argmax of the bool mask is its
-        # first position.
-        i = jnp.argmax(dup_positions(perm)).astype(jnp.int32)
-        key, k_pick = jax.random.split(key)
-        j = jax.random.randint(k_pick, (), 0, E)
-        pi, pj = perm[i], perm[j]
-        perm = perm.at[i].set(pj).at[j].set(pi)
-        return perm, key, passes + 1
-
-    perm, _, _ = jax.lax.while_loop(cond, body, (perm, key, jnp.int32(0)))
+    perm = match_until_simple(key, E, draw_perm, dup_info, method)
     return _perm_to_checks(perm, dv, dc)
 
 
@@ -144,11 +147,7 @@ def sample_check_table(key: jax.Array, n: int, dv: int, dc: int,
     """Sample a simple (dv,dc)-regular check->variable table, int32[m, dc]."""
     if (n * dv) % dc != 0:
         raise ValueError("n*dv must be divisible by dc")
-    if method == "reject":
-        return _sample_reject(key, n, dv, dc)
-    elif method == "repair":
-        return _sample_repair(key, n, dv, dc)
-    raise ValueError(f"unknown sampling method {method!r}")
+    return _regular_matching(key, n, dv, dc, method)
 
 
 def sample_code(key: jax.Array, n: int, dv: int, dc: int,

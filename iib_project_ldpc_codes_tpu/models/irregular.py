@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ensemble import MAX_REJECT_TRIES, MAX_REPAIR_PASSES, _with_key_vma
+from .ensemble import _with_key_vma, match_until_simple
 
 
 @jax.tree_util.register_dataclass
@@ -275,55 +275,28 @@ def _sample_irregular(key, socket_var, chk_of_socket, pad_map, sock_to_pad,
                                     jnp.full((1,), E, jnp.int32)])
         return socket_var_ext[perm_ext[pad_map]]   # [m+1, dc_max]
 
-    key, sub = jax.random.split(key)
-    perm = _with_key_vma(jax.random.permutation(sub, E), sub)
+    def draw_perm(sub):
+        return _with_key_vma(jax.random.permutation(sub, E), sub)
 
-    if method == "reject":
-        def cond(carry):
-            perm, key, tries = carry
-            return jnp.logical_and(
-                jnp.any(_row_duplicates(checks_of(perm), n)),
-                tries < MAX_REJECT_TRIES)
+    def dup_info(perm):
+        dup = _row_duplicates(checks_of(perm), n)
+        # first duplicated padded position -> its check socket index
+        p = jnp.argmax(dup.reshape(-1)).astype(jnp.int32)
+        return jnp.any(dup), pad_map.reshape(-1)[p]  # dup => socket < E
 
-        def body(carry):
-            perm, key, tries = carry
-            key, sub = jax.random.split(key)
-            perm = _with_key_vma(jax.random.permutation(sub, E), sub)
-            return perm, key, tries + 1
-
-        perm, _, _ = jax.lax.while_loop(cond, body,
-                                        (perm, key, jnp.int32(0)))
-    elif method == "repair":
-        def cond(carry):
-            perm, key, passes = carry
-            return jnp.logical_and(
-                jnp.any(_row_duplicates(checks_of(perm), n)),
-                passes < MAX_REPAIR_PASSES)
-
-        def body(carry):
-            perm, key, passes = carry
-            dup = _row_duplicates(checks_of(perm), n)
-            # first duplicated padded position -> its check socket index
-            p = jnp.argmax(dup.reshape(-1)).astype(jnp.int32)
-            s = pad_map.reshape(-1)[p]       # real socket (dup => < E)
-            key, k_pick = jax.random.split(key)
-            j = jax.random.randint(k_pick, (), 0, E)
-            pi, pj = perm[s], perm[j]
-            perm = perm.at[s].set(pj).at[j].set(pi)
-            return perm, key, passes + 1
-
-        perm, _, _ = jax.lax.while_loop(cond, body,
-                                        (perm, key, jnp.int32(0)))
-    else:
-        raise ValueError(f"unknown sampling method {method!r}")
+    perm = match_until_simple(key, E, draw_perm, dup_info, method)
 
     chk_to_var = checks_of(perm)
     # variable side: var socket t matches check socket inv[t]
     inv = jnp.argsort(perm).astype(jnp.int32)
     inv = inv + (perm[0].astype(jnp.int32) & jnp.int32(0))  # vma re-tag
     inv_ext = jnp.concatenate([inv, jnp.full((1,), E, jnp.int32)])
+    # padding sentinel = the phantom row's first flat grid position
+    # (row m, socket 0), honouring the class invariant that padded
+    # var_to_sock entries land on the phantom check row
+    dc_max = pad_map.shape[1]
     sock_to_pad_ext = jnp.concatenate(
-        [sock_to_pad, jnp.zeros((1,), jnp.int32)])
+        [sock_to_pad, jnp.full((1,), m * dc_max, jnp.int32)])
     var_to_chk = chk_of_socket_ext[inv_ext[var_pad_map]]     # [n+1, dv_max]
     var_to_sock = sock_to_pad_ext[inv_ext[var_pad_map]]      # [n+1, dv_max]
     return chk_to_var, var_to_chk, var_to_sock
@@ -362,7 +335,8 @@ def irregular_code_from_dense(h: np.ndarray) -> IrregularLDPCCode:
         chk_to_var[c, : vs.size] = vs
         pad_pos[c, : vs.size] = np.arange(vs.size) + offs[c]
     var_to_chk = np.full((n + 1, dv_max), m, np.int32)
-    var_to_sock = np.zeros((n + 1, dv_max), np.int32)
+    # padding -> the phantom row's first flat grid position (row m)
+    var_to_sock = np.full((n + 1, dv_max), m * dc_max, np.int32)
     fill = np.zeros(n, np.int64)
     for c in range(m):
         for j in range(int(chk_degrees[c])):
@@ -406,7 +380,8 @@ def validate_irregular_code(code: IrregularLDPCCode,
         if not (np.sort(np.asarray(spec.var_degrees))
                 == np.sort(np.bincount(real, minlength=n))).all():
             return False, "variable degree multiset mismatch"
-    # var tables consistent: the socket position holds this variable
+    # var tables consistent: the socket position holds this variable;
+    # padded entries land on the phantom check row
     flat = chk.reshape(-1)
     for v in range(n):
         for j in range(code.dv_max):
@@ -415,6 +390,8 @@ def validate_irregular_code(code: IrregularLDPCCode,
                     return False, "var_to_sock inconsistent"
                 if sock[v, j] // code.dc_max != var[v, j]:
                     return False, "var_to_chk inconsistent"
+            elif sock[v, j] // code.dc_max != m:
+                return False, "padded var_to_sock not on the phantom row"
     counts = np.bincount(real, minlength=n)
     if not (counts == (var[:-1] < m).sum(1)).all():
         return False, "variable degrees inconsistent between tables"

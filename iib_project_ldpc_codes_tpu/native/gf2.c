@@ -97,7 +97,9 @@ int gf2_rank(uint64_t *mat, int rows, int words, int num_cols) {
  * simple rows, but their bounded-retry fallbacks may not.
  *
  * chk: [c_count][m][dc] check->variable table (int32); c_count == 1
- *      (fixed code) or == trials (fresh code per trial).
+ *      (fixed code) or == trials (fresh code per trial).  Entries
+ *      outside [0, n) denote absent sockets (irregular phantom
+ *      padding) and are skipped.
  * rx:  [trials][n] received words, 0/1/2 (2 = erasure).
  * out: [trials][n] decoded words, 0/1/2 (2 = ML-undetermined).
  * Returns 0 on success, -1 on bad arguments / allocation failure.
@@ -143,11 +145,11 @@ int ml_decode_trials(const int32_t *chk, int32_t c_count, int32_t m,
             int s = 0;
             for (int32_t j = 0; j < dc; ++j) {
                 int32_t v = row[j];
-                if (v < 0 || v >= n) {
-                    free(aug); free(free_mask); free(pivots);
-                    free(eidx); free(epos);
-                    return -1;
-                }
+                /* entries outside [0, n) denote absent sockets (the
+                 * irregular container's phantom padding,
+                 * models/irregular.py): skip them */
+                if (v < 0 || v >= n)
+                    continue;
                 int dup = 0;  /* dense-bool semantics: count (c,v) once */
                 for (int32_t j2 = 0; j2 < j; ++j2)
                     if (row[j2] == v) { dup = 1; break; }

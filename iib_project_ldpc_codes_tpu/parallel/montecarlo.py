@@ -316,7 +316,9 @@ def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
 
     words = cfg.batch // 32
     if code.m % mesh.size:
-        raise ValueError(f"m={code.m} must divide mesh size {mesh.size}")
+        raise ValueError(f"mesh size {mesh.size} must divide the check "
+                         f"count m={code.m} (pick a device count that "
+                         "divides m)")
 
     def chunk(key):
         erased = bernoulli_packed(key, cfg.channel_param, (cfg.n, words))
@@ -588,6 +590,7 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     block_errors = bit_errors = excluded = 0
     bit_errors_sq = 0.0
     code_bit_errors_sq = 0.0
+    cluster_ok = True
     trials_per_code = None
     if cfg.code_mode == "ensemble":
         n_dev = 1 if mesh is None else mesh.size
@@ -615,6 +618,14 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                 excluded = ck["excluded"]
                 bit_errors_sq = ck.get("bit_errors_sq", 0.0)
                 code_bit_errors_sq = ck.get("code_bit_errors_sq", 0.0)
+                # the cluster moment is only meaningful if the whole run
+                # accumulated it at one cluster size: a checkpoint
+                # predating the field, or written under a different
+                # device count (different words-per-code), invalidates it
+                if cfg.code_mode == "ensemble" and (
+                        "code_bit_errors_sq" not in ck
+                        or ck.get("trials_per_code") != trials_per_code):
+                    cluster_ok = False
         if multi_process:
             from jax.experimental import multihost_utils
 
@@ -622,12 +633,14 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                 np.asarray([trials, chunk_idx, block_errors, bit_errors,
                             excluded], np.int64),
                 error_totals,
-                np.asarray([bit_errors_sq, code_bit_errors_sq], np.float64)))
+                np.asarray([bit_errors_sq, code_bit_errors_sq,
+                            1.0 if cluster_ok else 0.0], np.float64)))
             (trials, chunk_idx, block_errors,
              bit_errors, excluded) = (int(x) for x in state[0])
             error_totals = np.asarray(state[1], np.int64)
             bit_errors_sq = float(state[2][0])
             code_bit_errors_sq = float(state[2][1])
+            cluster_ok = state[2][2] > 0.5
 
     def write_checkpoint():
         tmp = cfg.checkpoint_path + ".tmp"
@@ -638,7 +651,8 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
                            block_errors=block_errors,
                            bit_errors=bit_errors, excluded=excluded,
                            bit_errors_sq=bit_errors_sq,
-                           code_bit_errors_sq=code_bit_errors_sq), f)
+                           code_bit_errors_sq=code_bit_errors_sq,
+                           trials_per_code=trials_per_code), f)
         os.replace(tmp, cfg.checkpoint_path)
 
     while trials < cfg.num_tests:
@@ -681,8 +695,9 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
         excluded_trials=excluded,
         bit_errors_sq=bit_errors_sq,
         code_bit_errors_sq=(code_bit_errors_sq
-                            if cfg.code_mode == "ensemble" else None),
-        trials_per_code=trials_per_code,
+                            if cfg.code_mode == "ensemble" and cluster_ok
+                            else None),
+        trials_per_code=trials_per_code if cluster_ok else None,
         elapsed_seconds=elapsed,
         timestamp=datetime.now().strftime("%d-%m-%Y-%H-%M-%S"),
         stopped_by=stopped_by,

@@ -37,7 +37,9 @@ class SimulationConfig:
     # Irregular (lambda, rho) ensemble: edge-perspective degree
     # distributions (utils.theory coefficient convention: lam[i] is the
     # edge fraction on degree-(i+1) variables).  When set, dv/dc are
-    # ignored and codes come from models.irregular; BEC+bp only.
+    # ignored and codes come from models.irregular.  Supported decoder
+    # pairs: BEC bp/peeling/ml/both and the BSC/AWGN soft decoders
+    # (sumproduct/minsum) -- see __post_init__.
     lam: Optional[List[float]] = None
     rho: Optional[List[float]] = None
 

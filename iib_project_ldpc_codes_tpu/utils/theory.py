@@ -546,7 +546,8 @@ def gallager_b_threshold(dv: int, dc: int, b: int | None = None,
 # sum-product/AWGN family).  Two independent methods:
 #   * Gaussian-approximation DE (Chung, Richardson & Urbanke 2001):
 #     one-dimensional recursion on the check-message mean; deterministic,
-#     fast, ~0.5% optimistic on sigma*.
+#     fast, ~0.5% pessimistic on sigma* (GA 0.8747 < exact 0.8790 for
+#     (3,6)).
 #   * population-dynamics (sampled) DE: exact in the population-size
 #     limit; the cross-check that recovers sigma*(3,6) ~= 0.879.
 # ---------------------------------------------------------------------------

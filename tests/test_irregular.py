@@ -562,3 +562,32 @@ def test_sharded_irregular_counters_exact_sum():
                axis=0))
     assert float(sharded.code_bit_errors_sq) == pytest.approx(
         sum(float(p.code_bit_errors_sq) for p in parts))
+
+
+def test_irregular_ml_native_handles_mixed_check_degrees():
+    """The native GF(2) kernel must consume padded tables (mixed check
+    degrees -> real padding entries == n) and agree with the dense-H
+    path -- the fallback is silent, so assert the native library is
+    actually in use when available."""
+    from iib_project_ldpc_codes_tpu.native import (load, 
+        ml_decode_trials_native)
+    from iib_project_ldpc_codes_tpu.ops.ml import (_real_check_rows,
+                                                   ml_decode, ml_decode_batch)
+
+    # mixed rho: checks of degree 5 and 6 -> dc_max padding on some rows
+    spec = IrregularEnsembleSpec.from_lam_rho(
+        110, [0, 0.4, 0.6], [0, 0, 0, 0, 0.5, 0.5])
+    assert len(set(spec.chk_degrees.tolist())) > 1
+    code = spec.sample(jax.random.key(3))
+    h = dense_parity_check_irregular(code)
+    rng = np.random.default_rng(13)
+    rx = np.where(rng.random((16, 110)) < 0.35, 2, 0).astype(np.uint8)
+    if load() is not None:
+        native = ml_decode_trials_native(_real_check_rows(code), code.n, rx)
+        assert native is not None, \
+            "native kernel rejected padded irregular tables"
+        batch = native.astype(int)
+    else:
+        batch = ml_decode_batch(code, rx)
+    for t in range(16):
+        assert (batch[t] == ml_decode(code, rx[t], h)).all()
