@@ -88,13 +88,54 @@ def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
     same per-iteration error totals); the iteration work is split across
     ``mesh`` and candidates are OR-all-reduced each round.
     """
+    if code.m % mesh.size:
+        raise ValueError(f"mesh size {mesh.size} must divide the check "
+                         f"count m={code.m}")
+    return _edge_sharded_core(code.chk_to_var, code.var_to_chk, erased,
+                              code.dc, code.dv, max_iters, mesh)
+
+
+def edge_sharded_bp_decode_irregular(code, erased: jax.Array,
+                                     max_iters: int, mesh: Mesh
+                                     ) -> PackedBPResult:
+    """Edge-sharded decode for an :class:`..models.irregular
+    .IrregularLDPCCode` -- huge-n Monte Carlo on irregular ensembles.
+
+    The phantom padding makes the sharded core degree-agnostic: the
+    state grows a permanently-known phantom-variable row, and the check
+    table (already phantom-padded to ``dc_max``, phantom row included) is
+    padded with extra all-phantom rows until the mesh size divides it --
+    phantom rows are all-known, so their exactly-one-unknown summary is
+    identically zero on whichever device owns them.  Bit-identical to
+    :func:`..ops.erasure_bp.bp_decode_packed_allzero_irregular`.
+    """
+    m_pad = code.m + 1
+    extra = (-m_pad) % mesh.size
+    chk = code.chk_to_var
+    if extra:
+        chk = jnp.concatenate(
+            [chk, jnp.full((extra, code.dc_max), code.n, jnp.int32)])
+    erased_p = jnp.concatenate(
+        [erased, jnp.zeros((1,) + erased.shape[1:], erased.dtype)])
+    res = _edge_sharded_core(chk, code.var_to_chk, erased_p,
+                             code.dc_max, code.dv_max, max_iters, mesh)
+    return PackedBPResult(val=res.val[:-1], known=res.known[:-1],
+                          error_totals=res.error_totals,
+                          iterations=res.iterations)
+
+
+def _edge_sharded_core(chk_rows: jax.Array, var_to_chk: jax.Array,
+                       erased: jax.Array, dc: int, dv: int,
+                       max_iters: int, mesh: Mesh) -> PackedBPResult:
+    """Degree-agnostic sharded fixed-point loop over explicit tables."""
     axis = mesh.axis_names[0]
     n_dev = mesh.size
-    if code.m % n_dev:
-        raise ValueError(f"m={code.m} must divide by mesh size {n_dev}")
+    m_rows = chk_rows.shape[0]
+    if m_rows % n_dev:
+        raise ValueError(f"mesh size {n_dev} must divide the (padded) "
+                         f"check row count {m_rows}")
     n, W = erased.shape
-    dc, dv = code.dc, code.dv
-    m_local = code.m // n_dev
+    m_local = m_rows // n_dev
 
     def per_device(chk_local, var_to_chk, erased_rep):
         chk_offset = jax.lax.axis_index(axis).astype(jnp.int32) * m_local
@@ -137,6 +178,6 @@ def edge_sharded_bp_decode(code: LDPCCode, erased: jax.Array,
         out_specs=(P(), P(), P()),
         check_vma=False,
     ))
-    known, errors, it = sharded(code.chk_to_var, code.var_to_chk, erased)
+    known, errors, it = sharded(chk_rows, var_to_chk, erased)
     return PackedBPResult(val=jnp.zeros_like(known), known=known,
                           error_totals=errors, iterations=it)

@@ -312,17 +312,22 @@ def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
     This is the Monte-Carlo closure of SURVEY section 5's long-context
     analogue: FER/waterfall statistics at n = 10^5..10^6, beyond the
     reference's largest plotted n = 10^5 (tools/plotting.py:357)."""
-    from .edge_sharded import edge_sharded_bp_decode
+    from .edge_sharded import (edge_sharded_bp_decode,
+                               edge_sharded_bp_decode_irregular)
 
     words = cfg.batch // 32
-    if code.m % mesh.size:
-        raise ValueError(f"mesh size {mesh.size} must divide the check "
-                         f"count m={code.m} (pick a device count that "
-                         "divides m)")
+    if isinstance(code, IrregularLDPCCode):
+        decode = edge_sharded_bp_decode_irregular  # pads rows itself
+    else:
+        decode = edge_sharded_bp_decode
+        if code.m % mesh.size:
+            raise ValueError(f"mesh size {mesh.size} must divide the "
+                             f"check count m={code.m} (pick a device "
+                             "count that divides m)")
 
     def chunk(key):
         erased = bernoulli_packed(key, cfg.channel_param, (cfg.n, words))
-        res = edge_sharded_bp_decode(code, erased, cfg.iterations, mesh)
+        res = decode(code, erased, cfg.iterations, mesh)
         per_trial = res.bit_errors
         return ChunkStats(
             error_totals=res.error_totals,

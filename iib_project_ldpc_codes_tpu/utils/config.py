@@ -133,9 +133,6 @@ class SimulationConfig:
             if self.expurgation is not None:
                 raise ValueError("edge_sharded does not support "
                                  "expurgation")
-            if self.lam is not None:
-                raise ValueError("edge_sharded supports regular codes "
-                                 "only")
         if (self.lam is None) != (self.rho is None):
             raise ValueError("lam and rho must be given together")
         if self.lam is not None:

@@ -701,3 +701,41 @@ def awgn_threshold_sigma_population(dv: int, dc: int,
         else:
             hi = mid
     return 0.5 * (lo + hi)
+
+
+def node_perspective(lam) -> np.ndarray:
+    """Edge-perspective lam -> node-perspective Lambda coefficients
+    (Lambda[i] = fraction of *nodes* with degree i+1)."""
+    lam = _poly_check(lam, "lam")
+    degs = np.arange(1, lam.size + 1)
+    node = np.where(lam > 0, lam / degs, 0.0)
+    return node / node.sum()
+
+
+def irregular_modified_density_evolution(erasure_prob: float, lam, rho,
+                                         iterations: int,
+                                         threshold: float = 0.0
+                                         ) -> List[float]:
+    """Bit-erasure DE for the (lambda, rho) ensemble: alongside the edge
+    recursion x' = eps lambda(1 - rho(1-x)), the *bit* erasure
+    probability after each round is eps Lambda(1 - rho(1-x)) with Lambda
+    the node-perspective variable distribution -- the irregular
+    generalisation of :func:`modified_density_evolution`
+    (tools/density_evolution.py:18-28), the overlay curve for
+    BER-vs-iteration plots of irregular simulations."""
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    node = node_perspective(lam)
+    # Lambda(y) = sum_d node_d y^d  (node_d indexed from degree 1)
+    lam_node_val = lambda y: float(
+        sum(nd * y ** (i + 1) for i, nd in enumerate(node)))
+    results = [erasure_prob]
+    x = erasure_prob
+    for _ in range(iterations):
+        inner = 1.0 - _poly_val(rho, 1.0 - x)
+        bit_prob = erasure_prob * lam_node_val(inner)
+        x = erasure_prob * _poly_val(lam, inner)
+        if bit_prob <= threshold:
+            break
+        results.append(bit_prob)
+    return results

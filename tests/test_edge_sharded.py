@@ -123,3 +123,54 @@ def test_edge_sharded_config_validation():
     with pytest.raises(ValueError):
         SimulationConfig(edge_sharded=True, code_mode="fixed",
                          expurgation=2)
+
+
+def test_edge_sharded_irregular_bit_identical():
+    """Irregular edge-sharded decode == single-device irregular decode,
+    bit for bit, on an 8-device mesh (phantom-row padding makes any mesh
+    size work: m+1 rows are padded with extra all-phantom rows)."""
+    from iib_project_ldpc_codes_tpu.models.irregular import (
+        IrregularEnsembleSpec)
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        bp_decode_packed_allzero_irregular)
+    from iib_project_ldpc_codes_tpu.parallel.edge_sharded import (
+        edge_sharded_bp_decode_irregular)
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+
+    spec = IrregularEnsembleSpec.from_lam_rho(
+        1024, [0, 1 / 3, 0, 2 / 3], [0, 0, 0, 0, 0, 1.0])
+    code = spec.sample(jax.random.key(4))
+    assert (code.m + 1) % 8 != 0  # exercises the extra-phantom-row pad
+    mesh = make_mesh(jax.devices()[:8])
+    for eps in (0.35, 0.46):
+        erased = bernoulli_packed(jax.random.key(int(eps * 100)), eps,
+                                  (1024, 2))
+        ref = bp_decode_packed_allzero_irregular(code, erased, 80)
+        got = edge_sharded_bp_decode_irregular(code, erased, 80, mesh)
+        assert (np.asarray(got.known) == np.asarray(ref.known)).all()
+        assert (np.asarray(got.error_totals)
+                == np.asarray(ref.error_totals)).all()
+        assert int(got.iterations) == int(ref.iterations)
+
+
+def test_edge_sharded_irregular_mc_engine():
+    """edge_sharded=True + (lam, rho) through run_simulation matches the
+    unsharded irregular fixed-code engine exactly."""
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    kw = dict(channel="BEC", channel_param=0.42, n=512,
+              lam=[0, 1 / 3, 0, 2 / 3], rho=[0, 0, 0, 0, 0, 1.0],
+              decoder="bp", iterations=60, num_tests=128, batch=64,
+              max_block_errors=10**9, seed=6, code_mode="fixed")
+    code = code_for_config(SimulationConfig(**kw))
+    plain = run_simulation(SimulationConfig(**kw), code=code)
+    sharded = run_simulation(SimulationConfig(edge_sharded=True, **kw),
+                             code=code, mesh=make_mesh(jax.devices()[:4]))
+    assert sharded.block_errors == plain.block_errors
+    assert sharded.bit_errors == plain.bit_errors
+    assert sharded.error_counts_per_iteration == \
+        plain.error_counts_per_iteration

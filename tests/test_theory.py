@@ -311,3 +311,42 @@ def test_awgn_population_de_brackets_exact_threshold():
     assert lo[-1] < 1e-4
     hi = awgn_population_de(0.92, 200, 3, 6, population=1 << 16, seed=3)
     assert hi[-1] > 0.02
+
+
+def test_irregular_modified_de_degenerate_matches_regular():
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_modified_density_evolution, modified_density_evolution,
+        regular_lam_rho)
+
+    lam, rho = regular_lam_rho(3, 6)
+    a = modified_density_evolution(0.4, 25, 3, 6)
+    b = irregular_modified_density_evolution(0.4, lam, rho, 25)
+    assert b == pytest.approx(a, rel=1e-12)
+
+
+def test_irregular_mc_ber_per_iteration_tracks_de():
+    """Large-n irregular simulation's per-iteration bit erasure rate
+    follows the irregular bit-erasure DE down to finite-size floor."""
+    import numpy as np
+
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_modified_density_evolution)
+
+    lam = [0, 1 / 3, 0, 2 / 3]
+    rho = [0, 0, 0, 0, 0, 1.0]
+    eps = 0.40  # below the 0.4526 irregular threshold
+    cfg = SimulationConfig(channel="BEC", channel_param=eps, n=8192,
+                           lam=lam, rho=rho, decoder="bp", iterations=12,
+                           num_tests=512, batch=512,
+                           max_block_errors=10**9, seed=2,
+                           code_mode="ensemble")
+    res = run_simulation(cfg)
+    mc = np.asarray(res.error_rate_per_iteration)
+    de = np.asarray(irregular_modified_density_evolution(eps, lam, rho, 12))
+    k = min(len(mc), len(de))
+    # early/mid iterations track DE within MC noise + finite-n bias;
+    # ignore the tail where the small-stopping-set floor dominates
+    for t in range(1, min(k, 8)):
+        assert mc[t] == pytest.approx(de[t], rel=0.25, abs=2e-3)
