@@ -161,3 +161,50 @@ def test_matches_single_process_mesh_exactly(two_process_outputs):
     assert got["bit_errors"] == want.bit_errors
     assert got["error_counts_per_iteration"] == \
         want.error_counts_per_iteration
+
+
+def test_two_process_irregular_matches_mesh(tmp_path):
+    """A real 2-process job on the irregular ensemble agrees across
+    processes and equals a single-process 2-device-mesh run exactly."""
+    cfg = SimulationConfig(
+        channel="BEC", channel_param=0.45, n=96,
+        lam=[0, 1 / 3, 0, 2 / 3], rho=[0, 0, 0, 0, 0, 1.0],
+        decoder="bp", iterations=20, num_tests=128, batch=64,
+        max_block_errors=10**9, seed=7, code_mode="ensemble")
+    cfg_path = tmp_path / "irr.json"
+    cfg_path.write_text(cfg.to_json())
+    outdir = str(tmp_path / "out")
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        cmd = [sys.executable, "-m",
+               "iib_project_ldpc_codes_tpu.parallel.multihost",
+               f"--coordinator=127.0.0.1:{port}", "--num-processes=2",
+               f"--process-id={pid}", "--platform=cpu", "--cpu-devices=1",
+               f"--output-dir={outdir}", f"--config={cfg_path}"]
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+
+    a, b = outs
+    assert a["block_errors"] == b["block_errors"]
+    assert a["bit_errors"] == b["bit_errors"]
+
+    # single process, 2-device virtual mesh, same config: exact equality
+    local = run_simulation(cfg, mesh=make_mesh(jax.devices()[:2]))
+    assert local.block_errors == a["block_errors"]
+    assert local.bit_errors == a["bit_errors"]
+    assert local.error_counts_per_iteration == \
+        a["error_counts_per_iteration"]
