@@ -739,3 +739,85 @@ def irregular_modified_density_evolution(erasure_prob: float, lam, rho,
             break
         results.append(bit_prob)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Irregular ensemble DESIGN: optimal lambda by linear programming.
+#
+# For fixed rho and erasure probability eps, the BEC DE success condition
+# eps * lambda(1 - rho(1-x)) < x for all x in (0, eps] is LINEAR in the
+# lambda coefficients (Luby et al. / Shokrollahi's classic observation),
+# so "the best variable-degree distribution" is a HOST-SIDE LP -- design
+# happens in milliseconds, then the sampled ensemble runs through the
+# same TPU Monte Carlo pipeline as any other (lam, rho).
+# ---------------------------------------------------------------------------
+
+def optimize_lambda(rho, dv_max: int, epsilon: float,
+                    grid_points: int = 200):
+    """Max-rate lambda for fixed rho at erasure probability eps.
+
+    Maximises int(lambda) = sum lam_d / d  (equivalently the design rate
+    1 - int(rho)/int(lambda)) subject to
+
+      * lam >= 0, no degree-1 mass, sum lam = 1, degrees <= dv_max;
+      * eps * lambda(1 - rho(1-x)) <= x on a grid over (0, eps]
+        (the DE success condition, linear in lam);
+      * the exact stability condition eps * lambda'(0) * rho'(1) <= 1.
+
+    Returns (lam, achieved_rate) or (None, None) if infeasible.
+    """
+    from scipy.optimize import linprog
+
+    rho = _poly_check(rho, "rho")
+    ndeg = dv_max - 1                       # variables: lam_2 .. lam_dv_max
+    # objective: maximise sum lam_d / d  ->  minimise -c x
+    c = -np.asarray([1.0 / d for d in range(2, dv_max + 1)])
+    # DE constraints on a grid biased toward 0 (where the fight happens)
+    xs = epsilon * (np.linspace(0.0, 1.0, grid_points + 1)[1:] ** 2)
+    a_ub, b_ub = [], []
+    for x in xs:
+        y = 1.0 - _poly_val(rho, 1.0 - x)
+        a_ub.append([epsilon * y ** (d - 1) for d in range(2, dv_max + 1)])
+        b_ub.append(x)
+    # stability: eps * lam_2 * rho'(1) <= 1
+    rho_d1 = float(sum(i * ci for i, ci in enumerate(rho)))
+    row = [0.0] * ndeg
+    row[0] = epsilon * rho_d1
+    a_ub.append(row)
+    b_ub.append(1.0)
+    a_eq = [[1.0] * ndeg]
+    b_eq = [1.0]
+    res = linprog(c, A_ub=np.asarray(a_ub), b_ub=np.asarray(b_ub),
+                  A_eq=np.asarray(a_eq), b_eq=b_eq,
+                  bounds=[(0.0, 1.0)] * ndeg, method="highs")
+    if not res.success:
+        return None, None
+    lam = np.zeros(dv_max)
+    lam[1:] = np.maximum(res.x, 0.0)
+    lam /= lam.sum()
+    ints = lambda cs: float(sum(ci / (i + 1) for i, ci in enumerate(cs)))
+    rate = 1.0 - ints(rho) / ints(lam)
+    return lam, rate
+
+
+def optimize_lambda_for_rate(rho, dv_max: int, target_rate: float,
+                             precision: float = 1e-4,
+                             grid_points: int = 200):
+    """The largest eps whose max-rate lambda still achieves target_rate:
+    bisection over :func:`optimize_lambda`.  Returns (lam, eps).
+
+    The classic design loop for BEC LDPC ensembles; with dv_max -> inf
+    the achievable eps approaches the Shannon limit 1 - target_rate
+    (capacity-achieving sequences).  The returned threshold is grid-
+    approximate -- re-verify with :func:`irregular_threshold`.
+    """
+    lo, hi = 0.0, 1.0 - target_rate    # Shannon bound
+    best = None
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        lam, rate = optimize_lambda(rho, dv_max, mid, grid_points)
+        if lam is not None and rate >= target_rate - 1e-9:
+            best, lo = lam, mid
+        else:
+            hi = mid
+    return best, lo

@@ -350,3 +350,69 @@ def test_irregular_mc_ber_per_iteration_tracks_de():
     # ignore the tail where the small-stopping-set floor dominates
     for t in range(1, min(k, 8)):
         assert mc[t] == pytest.approx(de[t], rel=0.25, abs=2e-3)
+
+
+def test_optimize_lambda_recovers_known_optima():
+    """The LP designer reproduces known optimal ensembles: at dv_max=3 /
+    rate 1/2 / rho=x^5 the optimum IS (3,6)-regular; at dv_max=4 it is
+    exactly the (1/3)x + (2/3)x^3 pair used throughout the test suite."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        calc_threshold, irregular_threshold, optimize_lambda_for_rate)
+
+    rho = [0, 0, 0, 0, 0, 1.0]
+    lam3, eps3 = optimize_lambda_for_rate(rho, 3, 0.5)
+    assert abs(eps3 - calc_threshold(3, 6)) < 2e-3
+    assert lam3[2] > 0.99                        # all mass on degree 3
+
+    lam4, eps4 = optimize_lambda_for_rate(rho, 4, 0.5)
+    assert abs(eps4 - 0.45265) < 2e-3
+    assert lam4[1] == pytest.approx(1 / 3, abs=5e-3)
+    assert lam4[3] == pytest.approx(2 / 3, abs=5e-3)
+
+
+def test_optimize_lambda_improves_with_dv_max_and_verifies():
+    """Thresholds increase with dv_max toward the Shannon limit, and the
+    grid-LP threshold agrees with the exact DE bisection on the designed
+    lambda."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        design_rate, irregular_threshold, optimize_lambda_for_rate)
+
+    rho = [0, 0, 0, 0, 0, 1.0]
+    prev = 0.0
+    for dv_max in (4, 6, 8):
+        lam, eps = optimize_lambda_for_rate(rho, dv_max, 0.5)
+        lam = [float(v) for v in lam]
+        assert design_rate(lam, rho) == pytest.approx(0.5, abs=1e-3)
+        thr = irregular_threshold(lam, rho, 1e-6)
+        assert thr == pytest.approx(eps, abs=2e-3)  # LP grid vs exact DE
+        assert thr > prev - 1e-9
+        prev = thr
+    assert prev > 0.478                      # 96% of the 0.5 Shannon limit
+    assert prev < 0.5                        # never beats capacity
+
+
+def test_optimized_ensemble_simulates_end_to_end():
+    """Design -> sample -> decode: the dv_max=6 LP-optimised ensemble
+    beats the dv_max=4 pair in Monte Carlo at an eps between their
+    thresholds (the full design loop, closed in simulation)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        optimize_lambda_for_rate)
+
+    rho = [0, 0, 0, 0, 0, 1.0]
+    lam6, _ = optimize_lambda_for_rate(rho, 6, 0.5)
+    lam6 = [float(v) for v in lam6]
+    eps = 0.46  # above the dv_max=4 threshold 0.4526, below dv_max=6's 0.4775
+
+    def run(lam):
+        cfg = SimulationConfig(channel="BEC", channel_param=eps, n=2048,
+                               lam=lam, rho=rho, decoder="bp",
+                               iterations=80, num_tests=2048, batch=512,
+                               max_block_errors=10**9, seed=37,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    opt = run(lam6)
+    hand = run([0, 1 / 3, 0, 2 / 3])
+    assert opt.bit_error_rate < 0.3 * hand.bit_error_rate
