@@ -75,8 +75,39 @@ def waterfall_scaling():
     fig.savefig("docs/figures/waterfall_scaling_n1e5_1e6.png", dpi=130)
 
 
+def design_ladder():
+    eps = [0.42, 0.44, 0.46, 0.47, 0.48, 0.49]
+    rows = [
+        ("regular (3,6)", 0.4294,
+         [2.4e-2, 2.7e-1, 3.4e-1, 3.7e-1, 3.9e-1, 4.1e-1]),
+        ("LP dv_max=4", 0.4526,
+         [9.9e-5, 1.1e-2, 2.9e-1, 3.4e-1, 3.7e-1, 4.0e-1]),
+        ("LP dv_max=6", 0.4775,
+         [4.7e-4, 9.4e-4, 7.7e-3, 8.9e-2, 2.7e-1, 3.6e-1]),
+        ("LP dv_max=8", 0.4815,
+         [4.3e-4, 8.2e-4, 7.0e-3, 6.3e-2, 2.2e-1, 3.4e-1]),
+    ]
+    fig, ax = plt.subplots(figsize=(7.5, 5))
+    for i, (name, thr, ber) in enumerate(rows):
+        c = f"C{i}"
+        ax.plot(eps, ber, "o-", color=c, label=f"{name} (ε*={thr:.4f})")
+        ax.axvline(thr, ls="--", color=c, alpha=0.5)
+    ax.axvline(0.5, ls=":", color="k", alpha=0.6,
+               label="Shannon limit (rate 1/2)")
+    ax.set_yscale("log")
+    ax.set_xlabel("erasure probability ε")
+    ax.set_ylabel("bit error rate")
+    ax.set_title("LP-designed ensemble ladder at rate 1/2, ρ=x⁵\n"
+                 "n = 8192, 2048 trials/point, one v5e chip")
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig("docs/figures/design_ladder_n8192.png", dpi=130)
+
+
 if __name__ == "__main__":
     irregular_vs_regular()
     waterfall_scaling()
-    print("wrote docs/figures/irregular_vs_regular_n8192.png and "
-          "docs/figures/waterfall_scaling_n1e5_1e6.png")
+    design_ladder()
+    print("wrote docs/figures/{irregular_vs_regular_n8192,"
+          "waterfall_scaling_n1e5_1e6,design_ladder_n8192}.png")
