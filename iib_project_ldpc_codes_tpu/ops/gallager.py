@@ -69,6 +69,24 @@ def _bitsliced_count_ge(bits: List[jax.Array], threshold: int) -> jax.Array:
     return ge | eq
 
 
+def _flip_at_threshold(others: List[jax.Array], threshold) -> jax.Array:
+    """``_bitsliced_count_ge`` with a static OR traced threshold.
+
+    A traced threshold (the per-iteration optimal-switching schedule,
+    utils.theory.gallager_b_schedule) selects among the <= dv-1 static
+    candidate planes -- the ripple-carry compare itself needs static bit
+    tests, and dv is tiny, so compute-all-and-select is the cheap
+    formulation.
+    """
+    if isinstance(threshold, int):
+        return _bitsliced_count_ge(others, threshold)
+    out = jnp.zeros_like(others[0])
+    for b in range(1, len(others) + 1):
+        out = jnp.where(threshold == b,
+                        _bitsliced_count_ge(others, b), out)
+    return out
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GallagerResult:
@@ -121,7 +139,7 @@ def _gallager_iteration(code: LDPCCode, channel: jax.Array, mvc: jax.Array,
     out = []
     for p in range(dv):
         others = [disagree[l] for l in range(dv) if l != p]
-        flip = _bitsliced_count_ge(others, threshold)
+        flip = _flip_at_threshold(others, threshold)
         out.append(channel ^ flip)
     out_flat = jnp.stack(out).reshape(dv * code.n, -1)  # [dv*n, W]
 
@@ -150,15 +168,22 @@ def _gallager_iteration(code: LDPCCode, channel: jax.Array, mvc: jax.Array,
 
 @partial(jax.jit, static_argnames=("max_iters", "threshold"))
 def gallager_decode_packed(code: LDPCCode, received: jax.Array,
-                           max_iters: int, threshold: int | None = None
+                           max_iters: int, threshold: int | None = None,
+                           schedule: jax.Array | None = None
                            ) -> GallagerResult:
     """Decode 32*W BSC trials; ``received`` is uint32[n, W] hard-bit planes
     relative to the all-zero codeword (bit set = channel flipped).
 
     ``threshold=None`` selects Gallager-A (t = dv-1); smaller t gives
-    Gallager-B variants.  Error counts are decision errors vs the all-zero
-    word after each iteration (index 0 = raw channel errors).
+    Gallager-B variants.  ``schedule`` (int32[>= max_iters]) overrides
+    ``threshold`` with a per-iteration flip threshold -- Gallager's
+    optimal switching rule, computed by
+    ``utils.theory.gallager_b_schedule``.  Error counts are decision
+    errors vs the all-zero word after each iteration (index 0 = raw
+    channel errors).
     """
+    if schedule is not None:
+        schedule = jnp.asarray(schedule, jnp.int32)
     if threshold is None:
         threshold = code.dv - 1  # Gallager-A
     channel = received
@@ -177,7 +202,8 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
 
     def body(carry):
         mvc, decided, errors, it, count, _ = carry
-        new_mvc, decided = _gallager_iteration(code, channel, mvc, threshold)
+        t = threshold if schedule is None else schedule[it]
+        new_mvc, decided = _gallager_iteration(code, channel, mvc, t)
         new_count = total_popcount(decided).astype(jnp.int32)
         changed = total_popcount(new_mvc ^ mvc) > 0
         errors = errors.at[it + 1].set(new_count)

@@ -485,8 +485,11 @@ def gallager_b_optimal_b(p0: float, x: float, dv: int, dc: int) -> int:
     """The optimal flip threshold at message error rate x: the b in
     [1, dv-1] minimising the next-iteration error (equivalently Gallager's
     smallest-b switching rule, Gallager 1963 eq. 4.16 -- brute force over
-    the <= dv-1 candidates is exact and degree-generic)."""
-    return min(range(1, dv), key=lambda b: _gallager_b_step(p0, x, dv, dc, b))
+    the <= dv-1 candidates is exact and degree-generic).  Ties (e.g. the
+    degenerate x == 0 state, where every b maps to 0) break toward the
+    LARGEST b -- the most conservative flip rule."""
+    return min(range(1, dv),
+               key=lambda b: (_gallager_b_step(p0, x, dv, dc, b), -b))
 
 
 def gallager_b_density_evolution(crossover_prob: float, iterations: int,
@@ -821,3 +824,22 @@ def optimize_lambda_for_rate(rho, dv_max: int, target_rate: float,
         else:
             hi = mid
     return best, lo
+
+
+def gallager_b_schedule(crossover_prob: float, iterations: int, dv: int,
+                        dc: int) -> List[int]:
+    """The optimal per-iteration flip-threshold sequence b_t.
+
+    Runs the optimal-rule DE and records the b chosen at each step --
+    feed to ``ops.gallager.gallager_decode_packed(..., schedule=...)`` to
+    realise Gallager's optimal switching rule on the device (early
+    iterations use a lower threshold while messages are unreliable, then
+    switch up as they clean)."""
+    p0 = crossover_prob
+    x = p0
+    out = []
+    for _ in range(iterations):
+        b = gallager_b_optimal_b(p0, x, dv, dc)
+        out.append(b)
+        x = _gallager_b_step(p0, x, dv, dc, b)
+    return out

@@ -332,3 +332,60 @@ def test_awgn_ber_vs_iteration_tracks_ga_de():
     it_de = int(np.argmax(de < cut))
     assert abs(it_mc - it_de) <= 3
     assert mc[-1] < 0.01 * mc[0]
+
+
+def test_gallager_schedule_constant_equals_fixed_threshold():
+    """A constant schedule must reproduce the fixed-threshold decoder
+    bit for bit."""
+    import jax.numpy as jnp
+
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed)
+
+    code = sample_code(jax.random.key(3), 1024, 4, 8)
+    rx = bernoulli_packed(jax.random.key(4), 0.04, (1024, 4))
+    fixed = gallager_decode_packed(code, rx, 30, threshold=3)
+    sched = gallager_decode_packed(
+        code, rx, 30, schedule=jnp.full((30,), 3, jnp.int32))
+    assert (np.asarray(fixed.decided) == np.asarray(sched.decided)).all()
+    assert (np.asarray(fixed.error_totals)
+            == np.asarray(sched.error_totals)).all()
+
+
+def test_gallager_optimal_schedule_beats_fixed_b():
+    """At a crossover between the fixed-b=3 threshold (0.0476) and the
+    optimal-rule threshold (0.0517) on (4,8), the switching schedule
+    decodes below the fixed-b=3 stall -- at block lengths large enough
+    for the asymptotic DE trajectory to apply (n=262144 here; at small n
+    trapping sets keep the true message error above b=2's convergence
+    basin and switching down hurts -- measured, see VALIDATION.md)."""
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed)
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        gallager_b_schedule, gallager_b_threshold)
+
+    p, n = 0.049, 262144
+    assert gallager_b_threshold(4, 8, 3) < p < gallager_b_threshold(4, 8)
+    sched = gallager_b_schedule(p, 120, 4, 8)
+    assert min(sched) == 2 and max(sched) == 3  # genuinely switches,
+    assert 1 not in sched                       # never to the b=1 cliff
+    code = sample_code(jax.random.key(9), n, 4, 8)
+    rx = bernoulli_packed(jax.random.key(10), p, (n, 2))
+    fixed = gallager_decode_packed(code, rx, 120, threshold=3)
+    opt = gallager_decode_packed(code, rx, 120,
+                                 schedule=jnp.asarray(sched, jnp.int32))
+    # a conservative late switch (after the b=3 stall) clears every
+    # residual error the fixed rule leaves
+    late = gallager_decode_packed(
+        code, rx, 120, schedule=jnp.asarray([3] * 60 + [2] * 60,
+                                            jnp.int32))
+    ber_fixed = float(np.asarray(fixed.bit_errors).mean()) / n
+    ber_opt = float(np.asarray(opt.bit_errors).mean()) / n
+    ber_late = float(np.asarray(late.bit_errors).mean()) / n
+    assert ber_fixed > 1e-4          # b=3 stalls at its DE fixed point
+    assert ber_opt < 0.8 * ber_fixed  # DE schedule beats fixed b
+    assert ber_late < 0.2 * ber_fixed  # late switch clears the stall
