@@ -175,15 +175,27 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
     relative to the all-zero codeword (bit set = channel flipped).
 
     ``threshold=None`` selects Gallager-A (t = dv-1); smaller t gives
-    Gallager-B variants.  ``schedule`` (int32[>= max_iters]) overrides
-    ``threshold`` with a per-iteration flip threshold -- Gallager's
-    optimal switching rule, computed by
+    Gallager-B variants.  ``schedule`` (int32[>= max_iters], entries
+    clamped into [1, dv-1]) overrides ``threshold`` with a per-iteration
+    flip threshold -- Gallager's optimal switching rule, computed by
     ``utils.theory.gallager_b_schedule``.  Error counts are decision
     errors vs the all-zero word after each iteration (index 0 = raw
     channel errors).
     """
     if schedule is not None:
         schedule = jnp.asarray(schedule, jnp.int32)
+        if schedule.shape[0] < max_iters:
+            raise ValueError(
+                f"schedule has {schedule.shape[0]} entries but max_iters="
+                f"{max_iters}; pass at least max_iters thresholds")
+        schedule = jnp.clip(schedule[:max_iters], 1, code.dv - 1)
+        # A message fixed point under the CURRENT threshold is not a
+        # fixed point of the run when a later entry differs -- the early
+        # exit below must stay live while any change lies ahead.
+        diff = schedule[1:] != schedule[:-1]
+        change_ahead = jnp.concatenate(
+            [jnp.flip(jnp.cumsum(jnp.flip(diff))) > 0,
+             jnp.zeros((1,), bool)])
     if threshold is None:
         threshold = code.dv - 1  # Gallager-A
     channel = received
@@ -206,6 +218,8 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
         new_mvc, decided = _gallager_iteration(code, channel, mvc, t)
         new_count = total_popcount(decided).astype(jnp.int32)
         changed = total_popcount(new_mvc ^ mvc) > 0
+        if schedule is not None:
+            changed = changed | change_ahead[it]
         errors = errors.at[it + 1].set(new_count)
         return (new_mvc, decided, errors, it + 1, new_count, changed)
 

@@ -109,19 +109,18 @@ def edge_sharded_bp_decode_irregular(code, erased: jax.Array,
     identically zero on whichever device owns them.  Bit-identical to
     :func:`..ops.erasure_bp.bp_decode_packed_allzero_irregular`.
     """
+    from ..ops.erasure_bp import _pad_phantom_row, _strip_phantom
+
     m_pad = code.m + 1
     extra = (-m_pad) % mesh.size
     chk = code.chk_to_var
     if extra:
         chk = jnp.concatenate(
             [chk, jnp.full((extra, code.dc_max), code.n, jnp.int32)])
-    erased_p = jnp.concatenate(
-        [erased, jnp.zeros((1,) + erased.shape[1:], erased.dtype)])
-    res = _edge_sharded_core(chk, code.var_to_chk, erased_p,
+    res = _edge_sharded_core(chk, code.var_to_chk,
+                             _pad_phantom_row(erased),
                              code.dc_max, code.dv_max, max_iters, mesh)
-    return PackedBPResult(val=res.val[:-1], known=res.known[:-1],
-                          error_totals=res.error_totals,
-                          iterations=res.iterations)
+    return _strip_phantom(res)
 
 
 def _edge_sharded_core(chk_rows: jax.Array, var_to_chk: jax.Array,

@@ -389,3 +389,41 @@ def test_gallager_optimal_schedule_beats_fixed_b():
     assert ber_fixed > 1e-4          # b=3 stalls at its DE fixed point
     assert ber_opt < 0.8 * ber_fixed  # DE schedule beats fixed b
     assert ber_late < 0.2 * ber_fixed  # late switch clears the stall
+
+
+def test_gallager_schedule_survives_pre_switch_fixed_point():
+    """A message fixed point under the current threshold must NOT end the
+    run while the schedule still changes ahead (regression: the early
+    exit used to freeze the schedule at the pre-switch stall)."""
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed)
+
+    code = sample_code(jax.random.key(9), 1024, 4, 8)
+    rx = bernoulli_packed(jax.random.key(109), 0.035, (1024, 1))
+    fixed = gallager_decode_packed(code, rx, 120, threshold=3)
+    # this draw stalls at an exact message fixed point early (iter 21
+    # with 32 residual errors at the time of writing) -- the precondition
+    # the regression needs
+    assert int(fixed.iterations) < 60
+    assert int(fixed.error_totals[-1]) > 0
+    sched = jnp.asarray([3] * 60 + [2] * 60, jnp.int32)
+    res = gallager_decode_packed(code, rx, 120, schedule=sched)
+    assert int(res.iterations) > 60  # the b=2 phase actually ran
+    # (no claim the outcome improves here: at n=1024 the b=2 phase can
+    # amplify the stall -- the finite-length effect VALIDATION.md records;
+    # this test pins only that the schedule is no longer silently frozen)
+
+
+def test_gallager_schedule_length_checked():
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed)
+
+    code = sample_code(jax.random.key(1), 96, 3, 6)
+    rx = bernoulli_packed(jax.random.key(2), 0.03, (96, 1))
+    with pytest.raises(ValueError):
+        gallager_decode_packed(code, rx, 30,
+                               schedule=jnp.ones((10,), jnp.int32))
