@@ -843,3 +843,75 @@ def gallager_b_schedule(crossover_prob: float, iterations: int, dv: int,
         out.append(b)
         x = _gallager_b_step(p0, x, dv, dc, b)
     return out
+
+
+def awgn_population_de_minsum(sigma: float, iterations: int, dv: int,
+                              dc: int, population: int = 1 << 20,
+                              seed: int = 0, tol: float = 1e-5,
+                              int8_scale: float | None = None
+                              ) -> List[float]:
+    """Population-dynamics DE for (unnormalised) MIN-SUM on the BiAWGN
+    channel -- the production decoder's own density evolution.
+
+    Check update: sign-product x magnitude-min over dc-1 sampled inputs
+    (ops/soft_bp._check_update_minsum algebra).  ``int8_scale`` not None
+    additionally quantises every message to int8 LSBs at that scale
+    (round + saturate at +-127), modelling ``soft_msg_dtype="int8"``.
+    Returns the message error trajectory.
+    """
+    rng = np.random.default_rng(seed)
+    m0, s0 = 2.0 / sigma ** 2, 2.0 / sigma
+
+    def q(x):
+        if int8_scale is None:
+            return x
+        return np.clip(np.round(x * int8_scale), -127, 127) / int8_scale
+
+    msgs = q(rng.normal(m0, s0, population))
+    out = [float((msgs < 0).mean() + 0.5 * (msgs == 0).mean())]
+    for _ in range(iterations):
+        mags = None
+        sgns = None
+        for _i in range(dc - 1):
+            x = msgs[rng.integers(0, population, population)]
+            a = np.abs(x)
+            s = np.sign(x) + (x == 0)  # zero counts as +
+            mags = a if mags is None else np.minimum(mags, a)
+            sgns = s if sgns is None else sgns * s
+        chk = q(sgns * mags)
+        msgs = q(rng.normal(m0, s0, population))
+        for _i in range(dv - 1):
+            msgs = q(msgs + chk[rng.integers(0, population, population)])
+        pe = float((msgs < 0).mean() + 0.5 * (msgs == 0).mean())
+        out.append(pe)
+        if pe < tol:
+            break
+    return out
+
+
+def awgn_threshold_sigma_minsum(dv: int, dc: int,
+                                precision: float = 2e-3,
+                                population: int = 1 << 20,
+                                iterations: int = 400, seed: int = 0,
+                                int8_scale: float | None = None) -> float:
+    """BiAWGN min-sum threshold by bisection over the sampled DE.
+
+    The computed anchor for the measured min-sum / int8-min-sum
+    waterfalls (docs/VALIDATION.md config 3): unnormalised min-sum pays
+    the textbook fraction-of-a-dB penalty vs sum-product, and int8
+    quantisation at the default scale costs almost nothing more.
+    """
+    def converges(sigma: float) -> bool:
+        pe = awgn_population_de_minsum(sigma, iterations, dv, dc,
+                                       population=population, seed=seed,
+                                       int8_scale=int8_scale)
+        return pe[-1] < 1e-5
+
+    lo, hi = 0.5, 1.2
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if converges(mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)

@@ -416,3 +416,32 @@ def test_optimized_ensemble_simulates_end_to_end():
     opt = run(lam6)
     hand = run([0, 1 / 3, 0, 2 / 3])
     assert opt.bit_error_rate < 0.3 * hand.bit_error_rate
+
+
+def test_awgn_minsum_population_de_brackets_its_threshold():
+    """Sampled min-sum DE: decodes at sigma=0.79 (below the computed
+    min-sum threshold 0.823), stuck at 0.86 (above it, yet below the
+    sum-product 0.879 -- the min-sum penalty region)."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        awgn_population_de_minsum)
+
+    lo = awgn_population_de_minsum(0.79, 200, 3, 6, population=1 << 16,
+                                   seed=3)
+    assert lo[-1] < 1e-4
+    hi = awgn_population_de_minsum(0.86, 200, 3, 6, population=1 << 16,
+                                   seed=3)
+    assert hi[-1] > 0.02
+
+
+def test_awgn_int8_minsum_de_near_float_minsum():
+    """int8 quantisation at the default scale costs almost nothing in
+    DE: the quantised trajectory decodes wherever float min-sum does,
+    comfortably below the computed threshold."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        awgn_population_de_minsum)
+
+    f = awgn_population_de_minsum(0.79, 200, 3, 6, population=1 << 16,
+                                  seed=5)
+    q = awgn_population_de_minsum(0.79, 200, 3, 6, population=1 << 16,
+                                  seed=5, int8_scale=4.0)
+    assert f[-1] < 1e-4 and q[-1] < 1e-4
