@@ -848,13 +848,16 @@ def gallager_b_schedule(crossover_prob: float, iterations: int, dv: int,
 def awgn_population_de_minsum(sigma: float, iterations: int, dv: int,
                               dc: int, population: int = 1 << 20,
                               seed: int = 0, tol: float = 1e-5,
-                              int8_scale: float | None = None
+                              int8_scale: float | None = None,
+                              alpha: float = 1.0, beta: float = 0.0
                               ) -> List[float]:
     """Population-dynamics DE for (unnormalised) MIN-SUM on the BiAWGN
     channel -- the production decoder's own density evolution.
 
     Check update: sign-product x magnitude-min over dc-1 sampled inputs
-    (ops/soft_bp._check_update_minsum algebra).  ``int8_scale`` not None
+    (ops/soft_bp._check_update_minsum algebra), with the decoder's
+    optional normalisation (``alpha``) and offset (``beta``) corrections
+    applied to the magnitude.  ``int8_scale`` not None
     additionally quantises every message to int8 LSBs at that scale
     (round + saturate at +-127), modelling ``soft_msg_dtype="int8"``.
     Returns the message error trajectory.
@@ -878,6 +881,10 @@ def awgn_population_de_minsum(sigma: float, iterations: int, dv: int,
             s = np.sign(x) + (x == 0)  # zero counts as +
             mags = a if mags is None else np.minimum(mags, a)
             sgns = s if sgns is None else sgns * s
+        if beta:
+            mags = np.maximum(mags - beta, 0.0)
+        if alpha != 1.0:
+            mags = alpha * mags
         chk = q(sgns * mags)
         msgs = q(rng.normal(m0, s0, population))
         for _i in range(dv - 1):
@@ -893,7 +900,9 @@ def awgn_threshold_sigma_minsum(dv: int, dc: int,
                                 precision: float = 2e-3,
                                 population: int = 1 << 20,
                                 iterations: int = 400, seed: int = 0,
-                                int8_scale: float | None = None) -> float:
+                                int8_scale: float | None = None,
+                                alpha: float = 1.0,
+                                beta: float = 0.0) -> float:
     """BiAWGN min-sum threshold by bisection over the sampled DE.
 
     The computed anchor for the measured min-sum / int8-min-sum
@@ -904,7 +913,8 @@ def awgn_threshold_sigma_minsum(dv: int, dc: int,
     def converges(sigma: float) -> bool:
         pe = awgn_population_de_minsum(sigma, iterations, dv, dc,
                                        population=population, seed=seed,
-                                       int8_scale=int8_scale)
+                                       int8_scale=int8_scale,
+                                       alpha=alpha, beta=beta)
         return pe[-1] < 1e-5
 
     lo, hi = 0.5, 1.2

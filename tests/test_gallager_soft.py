@@ -427,3 +427,26 @@ def test_gallager_schedule_length_checked():
     with pytest.raises(ValueError):
         gallager_decode_packed(code, rx, 30,
                                schedule=jnp.ones((10,), jnp.int32))
+
+
+def test_normalized_minsum_mc_matches_its_computed_threshold():
+    """At sigma=0.85 -- above the unnormalised min-sum threshold (0.823)
+    but below the alpha=0.8 normalised one (0.874) -- normalisation
+    turns a stuck decoder into a working one, as the min-sum population
+    DE predicts."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    def run(alpha):
+        cfg = SimulationConfig(channel="AWGN", channel_param=0.85,
+                               n=2048, dv=3, dc=6, decoder="minsum",
+                               minsum_alpha=alpha, iterations=60,
+                               num_tests=512, batch=256,
+                               max_block_errors=10**9, seed=43,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    plain = run(1.0)
+    norm = run(0.8)
+    assert plain.bit_error_rate > 5e-3          # stuck above 0.823
+    assert norm.bit_error_rate < 0.2 * plain.bit_error_rate
