@@ -230,3 +230,130 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
     tail = jnp.arange(max_iters + 1) > it
     errors = jnp.where(tail, count, errors)
     return GallagerResult(decided=decided, error_totals=errors, iterations=it)
+
+
+# ---------------------------------------------------------------------------
+# Irregular codes: phantom-padded Gallager-A/B.
+#
+# Same phantom discipline as the BEC/soft decoders (models/irregular.py):
+# the phantom variable's channel bit is 0 and every padded socket's
+# message stays identically 0, so the check-side extrinsic XOR needs no
+# masks; the variable side masks phantom-routed messages to "agree" and
+# applies PER-DEGREE thresholds (a degree-d node has d-1 extrinsic
+# inputs): flip threshold t_d = min(b, d-1) (b=None -> Gallager-A's
+# t_d = d-1) and majority decision t = d//2 + 1.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_iters", "threshold"))
+def gallager_decode_packed_irregular(code, received: jax.Array,
+                                     max_iters: int,
+                                     threshold: int | None = None
+                                     ) -> GallagerResult:
+    """Gallager-A/B for an :class:`..models.irregular.IrregularLDPCCode`.
+
+    ``received`` is uint32[n, W] flip planes vs the all-zero word;
+    ``threshold=None`` -> per-degree Gallager-A (flip iff all d-1 others
+    disagree); an int b applies t_d = min(b, d-1) per degree (the same
+    clamp ``utils.theory.irregular_gallager_b_density_evolution`` uses).
+    Returns [n, W] planes.  Oracle-grade path (per-degree selects); the
+    bit-packed layout still makes it a vector decoder.
+    """
+    n, m = code.n, code.m
+    dv_max, dc_max = code.dv_max, code.dc_max
+    m_pad = m + 1
+    channel = jnp.concatenate(
+        [received, jnp.zeros((1,) + received.shape[1:], received.dtype)])
+    full = jnp.uint32(0xFFFFFFFF)
+    var_mask_bits = [jnp.where(code.var_mask[:, p:p + 1], full,
+                               jnp.uint32(0)) for p in range(dv_max)]
+    # per-socket routing: variable socket p -> flat mcv row j*(m+1)+c
+    sock = code.var_to_sock
+    route = [(sock[:, p] % dc_max) * m_pad + sock[:, p] // dc_max
+             for p in range(dv_max)]
+    degrees = jnp.sum(code.var_mask, axis=1).astype(jnp.int32)  # [n+1]
+    # all candidate degrees (static, so the whole decoder jits); masks of
+    # absent degrees are all-zero and cost a handful of fused selects
+    present = list(range(1, dv_max + 1))
+    deg_bits = {d: jnp.where((degrees == d)[:, None], full, jnp.uint32(0))
+                for d in present}
+
+    # loop-invariant back-routing: check socket (c, j) reads variable
+    # v = chk_to_var[c, j] at socket p with var_to_sock[v, p] == c*dc_max+j
+    inv_p = jnp.zeros((m_pad * dc_max,), jnp.int32)
+    for p in range(dv_max):
+        inv_p = inv_p.at[sock[:, p]].set(p)
+
+    # initial messages: the channel bit at every socket (phantom rows 0)
+    mvc0 = jnp.stack([jnp.take(channel, code.chk_to_var[:, j], axis=0)
+                      for j in range(dc_max)])   # [dc_max, m+1, W]
+    count0 = total_popcount(received).astype(jnp.int32)
+    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
+    decided0 = received
+
+    def per_degree_flip(others, rule):
+        """Combine per-degree thresholds over the padded-socket counts."""
+        out = jnp.zeros_like(others[0])
+        for d in present:
+            out = out | (deg_bits[d] & _bitsliced_count_ge(others, rule(d)))
+        return out
+
+    def iteration(mvc):
+        # check extrinsic XOR (padded messages are 0 -> maskless)
+        pre = [jnp.zeros_like(mvc[0])]
+        for j in range(dc_max - 1):
+            pre.append(pre[-1] ^ mvc[j])
+        suf = [jnp.zeros_like(mvc[0])]
+        for j in range(dc_max - 1, 0, -1):
+            suf.append(suf[-1] ^ mvc[j])
+        suf.reverse()
+        mcv = jnp.stack([pre[j] ^ suf[j] for j in range(dc_max)])
+        mcv_flat = mcv.reshape(dc_max * m_pad, -1)
+
+        disagree = [(jnp.take(mcv_flat, route[p], axis=0) ^ channel)
+                    & var_mask_bits[p] for p in range(dv_max)]
+
+        # per-degree flip rule; degree-1 nodes have no extrinsic input
+        # and never flip (t clamped to >= 1 over zero maskable counts)
+        rule = (lambda d: max(d - 1, 1)) if threshold is None else \
+            (lambda d: min(threshold, max(d - 1, 1)))
+        out = []
+        for p in range(dv_max):
+            others = [disagree[l] for l in range(dv_max) if l != p]
+            flip = per_degree_flip(others, rule)
+            out.append(channel ^ flip)
+        out_flat = jnp.stack(out).reshape(dv_max * (n + 1), -1)
+
+        new_planes = []
+        for j in range(dc_max):
+            pos = jnp.arange(m_pad, dtype=jnp.int32) * dc_max + j
+            p = jnp.take(inv_p, pos)
+            idx = p * (n + 1) + code.chk_to_var[:, j]
+            plane = jnp.take(out_flat, idx, axis=0)
+            # padded sockets (phantom variable) must stay 0
+            new_planes.append(jnp.where(code.chk_mask[:, j:j + 1], plane,
+                                        jnp.uint32(0)))
+        new_mvc = jnp.stack(new_planes)
+
+        dec_flip = per_degree_flip(disagree, lambda d: d // 2 + 1)
+        decided = (channel ^ dec_flip)[:-1]
+        return new_mvc, decided
+
+    def cond(carry):
+        _, _, _, it, count, changed = carry
+        return (it < max_iters) & (count > 0) & changed
+
+    def body(carry):
+        mvc, decided, errors, it, count, _ = carry
+        new_mvc, decided = iteration(mvc)
+        new_count = total_popcount(decided).astype(jnp.int32)
+        changed = total_popcount(new_mvc ^ mvc) > 0
+        errors = errors.at[it + 1].set(new_count)
+        return (new_mvc, decided, errors, it + 1, new_count, changed)
+
+    mvc, decided, errors, it, count, _ = jax.lax.while_loop(
+        cond, body,
+        (mvc0, decided0, errors, jnp.int32(0), count0, count0 > -1))
+    tail = jnp.arange(max_iters + 1) > it
+    errors = jnp.where(tail, count, errors)
+    return GallagerResult(decided=decided, error_totals=errors,
+                          iterations=it)

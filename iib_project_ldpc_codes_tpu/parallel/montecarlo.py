@@ -125,12 +125,16 @@ def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
 def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
                     iterations: int, crossover_prob,
                     threshold=None) -> ChunkStats:
-    """BSC hard-decision chunk: packed flip mask -> Gallager-A/B decode."""
-    from ..ops.gallager import gallager_decode_packed
+    """BSC hard-decision chunk: packed flip mask -> Gallager-A/B decode
+    (regular LDPCCode or IrregularLDPCCode)."""
+    from ..ops.gallager import (gallager_decode_packed,
+                                gallager_decode_packed_irregular)
 
     received = bernoulli_packed(key, crossover_prob, (n, words))
-    res = gallager_decode_packed(code, received, iterations,
-                                 threshold=threshold)
+    decode = (gallager_decode_packed_irregular
+              if isinstance(code, IrregularLDPCCode)
+              else gallager_decode_packed)
+    res = decode(code, received, iterations, threshold=threshold)
     return ChunkStats(
         error_totals=res.error_totals,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),

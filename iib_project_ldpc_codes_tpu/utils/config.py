@@ -138,13 +138,14 @@ class SimulationConfig:
         if self.lam is not None:
             irregular_ok = {("BEC", "bp"), ("BEC", "peeling"),
                             ("BEC", "ml"), ("BEC", "both"),
+                            ("BSC", "gallager"),
                             ("BSC", "sumproduct"), ("BSC", "minsum"),
                             ("AWGN", "sumproduct"), ("AWGN", "minsum")}
             if (self.channel, self.decoder) not in irregular_ok:
                 raise ValueError(
                     "irregular (lam, rho) ensembles support the BEC "
-                    "decoders (bp/peeling/ml/both) and the soft decoders "
-                    f"(sumproduct/minsum); got "
+                    "decoders (bp/peeling/ml/both), Gallager-A/B, and "
+                    "the soft decoders (sumproduct/minsum); got "
                     f"{(self.channel, self.decoder)}")
         elif (self.n * self.dv) % self.dc:
             raise ValueError("n*dv must be divisible by dc")

@@ -925,3 +925,89 @@ def awgn_threshold_sigma_minsum(dv: int, dc: int,
         else:
             hi = mid
     return 0.5 * (lo + hi)
+
+
+def irregular_gallager_b_density_evolution(crossover_prob: float, lam, rho,
+                                           iterations: int,
+                                           b: int | None = None
+                                           ) -> List[float]:
+    """Gallager-B message-error DE for an irregular (lambda, rho)
+    ensemble on the BSC, with one flip threshold ``b`` shared across
+    degrees (clamped per degree to its d-1 extrinsic inputs; ``None`` ->
+    each degree uses its Gallager-A rule b = d-1).
+
+    Edge-averaged recursion: the check extrinsic error is
+    u = (1 - rho(1-2x))/2 and the variable side averages the regular
+    per-degree step over the edge-degree distribution lambda.
+    """
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    p0 = crossover_prob
+    x = p0
+    out = [x]
+    for _ in range(iterations):
+        u = 0.5 * (1.0 - _poly_val(rho, 1.0 - 2.0 * x))
+        new_x = 0.0
+        for i, li in enumerate(lam):
+            if li == 0.0:
+                continue
+            others = i  # degree i+1 variable: i extrinsic inputs
+            if others == 0:
+                new_x += li * p0
+                continue
+            bt = others if b is None else min(b, others)
+            flip_good = sum(
+                math.comb(others, j) * u ** j * (1 - u) ** (others - j)
+                for j in range(bt, others + 1))
+            stay_bad = sum(
+                math.comb(others, j) * (1 - u) ** j * u ** (others - j)
+                for j in range(0, bt))
+            new_x += li * ((1.0 - p0) * flip_good + p0 * stay_bad)
+        x = new_x
+        out.append(x)
+    return out
+
+
+def irregular_gallager_b_threshold(lam, rho, b: int | None = None,
+                                   precision: float = 1e-6) -> float:
+    """BSC crossover threshold of Gallager-B on the (lambda, rho)
+    ensemble by bisection (degenerate distributions reproduce
+    :func:`gallager_b_threshold` / :func:`gallager_a_threshold`)."""
+    def dies_out(p0: float) -> bool:
+        lam_c = _poly_check(lam, "lam")
+        rho_c = _poly_check(rho, "rho")
+        x = p0
+        for _ in range(20_000):
+            u = 0.5 * (1.0 - _poly_val(rho_c, 1.0 - 2.0 * x))
+            new_x = 0.0
+            for i, li in enumerate(lam_c):
+                if li == 0.0:
+                    continue
+                others = i
+                if others == 0:
+                    new_x += li * p0
+                    continue
+                bt = others if b is None else min(b, others)
+                flip_good = sum(
+                    math.comb(others, j) * u ** j
+                    * (1 - u) ** (others - j)
+                    for j in range(bt, others + 1))
+                stay_bad = sum(
+                    math.comb(others, j) * (1 - u) ** j
+                    * u ** (others - j) for j in range(0, bt))
+                new_x += li * ((1.0 - p0) * flip_good + p0 * stay_bad)
+            if new_x < 1e-12:
+                return True
+            if abs(new_x - x) < 1e-15:
+                return False
+            x = new_x
+        return x < 1e-12
+
+    lo, hi = 0.0, 0.5
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        if dies_out(mid):
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)

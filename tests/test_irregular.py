@@ -236,9 +236,9 @@ def test_irregular_config_validation():
 
     with pytest.raises(ValueError):
         SimulationConfig(lam=LAM)                      # rho missing
-    with pytest.raises(ValueError):
-        SimulationConfig(lam=LAM, rho=RHO, channel="BSC",
-                         decoder="gallager")           # BEC+bp only
+    # every decoder family now supports (lam, rho); the guard remains for
+    # genuinely unsupported combos (none today besides missing pairs)
+    SimulationConfig(lam=LAM, rho=RHO, channel="BSC", decoder="gallager")
 
 
 def test_irregular_beats_regular_mc_at_same_rate():
@@ -591,3 +591,81 @@ def test_irregular_ml_native_handles_mixed_check_degrees():
         batch = ml_decode_batch(code, rx)
     for t in range(16):
         assert (batch[t] == ml_decode(code, rx[t], h)).all()
+
+
+# ---------------------------------------------------------------------------
+# Gallager-A/B (BSC hard decision) on irregular codes
+# ---------------------------------------------------------------------------
+
+def test_gallager_irregular_degenerate_matches_regular():
+    """On a (3,6)-regular degenerate spec the irregular Gallager decoder
+    equals the regular one bit for bit (deterministic algorithm, same
+    graph)."""
+    from iib_project_ldpc_codes_tpu.models.code import code_from_dense
+    from iib_project_ldpc_codes_tpu.ops.bitops import bernoulli_packed
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed, gallager_decode_packed_irregular)
+
+    spec = IrregularEnsembleSpec.regular(96, 3, 6)
+    icode = spec.sample(jax.random.key(3))
+    reg = code_from_dense(dense_parity_check_irregular(icode))
+    for p, thr in ((0.02, None), (0.05, None), (0.03, 1)):
+        rx = bernoulli_packed(jax.random.key(int(p * 1000)), p, (96, 4))
+        ri = gallager_decode_packed_irregular(icode, rx, 25, threshold=thr)
+        rr = gallager_decode_packed(reg, rx, 25, threshold=thr)
+        assert (np.asarray(ri.decided) == np.asarray(rr.decided)).all()
+        assert (np.asarray(ri.error_totals)
+                == np.asarray(rr.error_totals)).all()
+
+
+def test_gallager_irregular_mc_brackets_its_de_threshold():
+    """Irregular Gallager-A Monte Carlo brackets the irregular Gallager
+    DE threshold computed for the same (lambda, rho) -- decoder and
+    analysis close on each other.  Uses a dv>=3 pair: hard-decision
+    decoding of degree-2 variables has threshold ZERO (the single
+    extrinsic input gives the DE a constant ~lambda2*p error-injection
+    term), which the companion test below pins."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_gallager_b_threshold)
+
+    lam34 = [0, 0, 0.5, 0.5]  # degrees 3 and 4, rho = x^5
+    thr = irregular_gallager_b_threshold(lam34, RHO)  # per-degree A rule
+    assert thr == pytest.approx(0.0576, abs=5e-4)
+
+    def run(p):
+        cfg = SimulationConfig(channel="BSC", channel_param=p, n=1024,
+                               lam=lam34, rho=RHO, decoder="gallager",
+                               iterations=40, num_tests=1024, batch=512,
+                               max_block_errors=10**9, seed=47,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    lo = run(thr - 0.03)
+    hi = run(thr + 0.03)
+    assert lo.bit_error_rate < 5e-3
+    assert hi.bit_error_rate > 5 * max(lo.bit_error_rate, 1e-6)
+
+
+def test_gallager_hard_decision_lambda2_threshold_is_zero():
+    """lambda2 > 0 makes the hard-decision (Gallager) threshold vanish:
+    a degree-2 node's lone extrinsic input injects ~lambda2*p errors
+    every round regardless of p.  (This is why the BEC/soft decoders,
+    not Gallager, are the irregular workhorses.)"""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_gallager_b_threshold)
+
+    assert irregular_gallager_b_threshold(LAM, RHO) < 1e-4
+
+
+def test_irregular_gallager_de_degenerate_matches_regular_theory():
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        gallager_a_threshold, gallager_b_threshold,
+        irregular_gallager_b_threshold, regular_lam_rho)
+
+    lam, rho = regular_lam_rho(4, 8)
+    assert irregular_gallager_b_threshold(lam, rho) == pytest.approx(
+        gallager_a_threshold(4, 8), abs=1e-4)
+    assert irregular_gallager_b_threshold(lam, rho, b=3) == pytest.approx(
+        gallager_b_threshold(4, 8, 3), abs=1e-4)
