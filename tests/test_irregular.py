@@ -669,3 +669,31 @@ def test_irregular_gallager_de_degenerate_matches_regular_theory():
         gallager_a_threshold(4, 8), abs=1e-4)
     assert irregular_gallager_b_threshold(lam, rho, b=3) == pytest.approx(
         gallager_b_threshold(4, 8, 3), abs=1e-4)
+
+
+def test_sharded_irregular_gallager_chunk():
+    """BSC+gallager on an irregular ensemble through the mesh-sharded
+    chunk kernel (vma checker on): counters psum to the per-device sum."""
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import make_chunk_fn
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    def cfg(batch, codes):
+        return SimulationConfig(channel="BSC", channel_param=0.04, n=96,
+                                lam=[0, 0, 0.5, 0.5], rho=RHO,
+                                decoder="gallager", iterations=20,
+                                num_tests=512, batch=batch,
+                                codes_per_chunk=codes,
+                                max_block_errors=10**9, seed=3,
+                                code_mode="ensemble")
+
+    mesh = make_mesh()
+    n_dev = mesh.size
+    key = jax.random.key(2)
+    sharded = jax.device_get(make_chunk_fn(cfg(512, 16), None, mesh)(key))
+    single_fn = make_chunk_fn(cfg(512 // n_dev, 16 // n_dev), None, None)
+    parts = [jax.device_get(single_fn(jax.random.fold_in(key, d)))
+             for d in range(n_dev)]
+    assert int(sharded.bit_errors) == sum(int(p.bit_errors) for p in parts)
+    assert int(sharded.block_errors) == sum(
+        int(p.block_errors) for p in parts)
