@@ -697,3 +697,30 @@ def test_sharded_irregular_gallager_chunk():
     assert int(sharded.bit_errors) == sum(int(p.bit_errors) for p in parts)
     assert int(sharded.block_errors) == sum(
         int(p.block_errors) for p in parts)
+
+
+def test_soft_irregular_mc_brackets_awgn_ga_threshold():
+    """Irregular AWGN sum-product Monte Carlo brackets the irregular GA
+    threshold (~0.904): BER collapses to the lambda2 floor below it and
+    blows up above it -- the soft-decision analogue of the BEC
+    threshold-bracketing test."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_awgn_threshold_sigma_ga)
+
+    thr = irregular_awgn_threshold_sigma_ga(LAM, RHO)
+
+    def run(sigma):
+        cfg = SimulationConfig(channel="AWGN", channel_param=sigma,
+                               n=1024, lam=LAM, rho=RHO,
+                               decoder="sumproduct", iterations=60,
+                               num_tests=512, batch=256,
+                               max_block_errors=10**9, seed=53,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    lo = run(thr - 0.08)
+    hi = run(thr + 0.08)
+    assert lo.bit_error_rate < 3e-3          # floor only
+    assert hi.bit_error_rate > 10 * max(lo.bit_error_rate, 1e-5)

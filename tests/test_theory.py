@@ -445,3 +445,33 @@ def test_awgn_int8_minsum_de_near_float_minsum():
     q = awgn_population_de_minsum(0.79, 200, 3, 6, population=1 << 16,
                                   seed=5, int8_scale=4.0)
     assert f[-1] < 1e-4 and q[-1] < 1e-4
+
+
+def test_irregular_awgn_ga_thresholds():
+    """Irregular Gaussian-approximation AWGN DE: degenerate pairs
+    reproduce the regular GA threshold; the rate-1/2 irregular pair
+    beats (3,6)-regular on AWGN too (sigma* ~ 0.904 vs 0.8747, matching
+    an independent irregular population-DE bracket of 0.88..0.92)."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        awgn_threshold_sigma_ga, irregular_awgn_threshold_sigma_ga,
+        regular_lam_rho)
+
+    lam, rho = regular_lam_rho(3, 6)
+    assert irregular_awgn_threshold_sigma_ga(lam, rho) == pytest.approx(
+        awgn_threshold_sigma_ga(3, 6), abs=2e-3)
+    thr = irregular_awgn_threshold_sigma_ga([0, 1 / 3, 0, 2 / 3],
+                                            [0, 0, 0, 0, 0, 1.0])
+    assert thr == pytest.approx(0.904, abs=3e-3)
+    assert thr > awgn_threshold_sigma_ga(3, 6) + 0.02
+
+
+def test_irregular_awgn_ga_de_trajectory():
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        irregular_awgn_gaussian_de)
+
+    lam = [0, 1 / 3, 0, 2 / 3]
+    rho = [0, 0, 0, 0, 0, 1.0]
+    below = irregular_awgn_gaussian_de(0.85, lam, rho, 200)
+    assert below[-1] < 1e-8
+    above = irregular_awgn_gaussian_de(0.97, lam, rho, 200)
+    assert above[-1] > 1e-3
