@@ -1080,3 +1080,64 @@ def irregular_awgn_threshold_sigma_ga(lam, rho,
         else:
             hi = mid
     return 0.5 * (lo + hi)
+
+
+def optimize_lambda_awgn(rho, dv_max: int, sigma: float,
+                         grid_points: int = 200):
+    """Max-rate lambda for fixed rho on the BiAWGN channel at noise
+    ``sigma`` -- the Gaussian-approximation analogue of
+    :func:`optimize_lambda` (Chung-Richardson-Urbanke's LP design): for
+    a fixed rho the GA success condition
+
+        sum_i lam_i phi(m0 + (i) mu_c(s)) <= s   for all s in (0, s0]
+
+    with mu_c(s) = sum_j rho_j phi^{-1}(1-(1-s)^j) is LINEAR in the
+    lambda coefficients.  Returns (lam, achieved_rate) or (None, None).
+    """
+    from scipy.optimize import linprog
+
+    rho = _poly_check(rho, "rho")
+    m0 = 2.0 / (sigma * sigma)
+    s0 = _phi_ga(m0)
+    ndeg = dv_max - 1
+    c = -np.asarray([1.0 / d for d in range(2, dv_max + 1)])
+    # grid biased toward s -> 0 (the convergence bottleneck)
+    ss = s0 * (np.linspace(0.0, 1.0, grid_points + 1)[1:] ** 2)
+    a_ub, b_ub = [], []
+    for s in ss:
+        mu = sum(rj * _phi_ga_inv(1.0 - (1.0 - s) ** j)
+                 for j, rj in enumerate(rho) if rj > 0)
+        a_ub.append([_phi_ga(m0 + (d - 1) * mu)
+                     for d in range(2, dv_max + 1)])
+        b_ub.append(s)
+    a_eq = [[1.0] * ndeg]
+    res = linprog(c, A_ub=np.asarray(a_ub), b_ub=np.asarray(b_ub),
+                  A_eq=np.asarray(a_eq), b_eq=[1.0],
+                  bounds=[(0.0, 1.0)] * ndeg, method="highs")
+    if not res.success:
+        return None, None
+    lam = np.zeros(dv_max)
+    lam[1:] = np.maximum(res.x, 0.0)
+    lam /= lam.sum()
+    ints = lambda cs: float(sum(ci / (i + 1) for i, ci in enumerate(cs)))
+    rate = 1.0 - ints(rho) / ints(lam)
+    return lam, rate
+
+
+def optimize_lambda_awgn_for_rate(rho, dv_max: int, target_rate: float,
+                                  precision: float = 1e-3,
+                                  grid_points: int = 200):
+    """Largest sigma whose GA-optimal lambda reaches target_rate
+    (bisection over :func:`optimize_lambda_awgn`); returns (lam, sigma).
+    Grid/GA-approximate -- re-verify with
+    :func:`irregular_awgn_threshold_sigma_ga`."""
+    lo, hi = 0.5, 1.5
+    best = None
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        lam, rate = optimize_lambda_awgn(rho, dv_max, mid, grid_points)
+        if lam is not None and rate >= target_rate - 1e-9:
+            best, lo = lam, mid
+        else:
+            hi = mid
+    return best, lo

@@ -475,3 +475,30 @@ def test_irregular_awgn_ga_de_trajectory():
     assert below[-1] < 1e-8
     above = irregular_awgn_gaussian_de(0.97, lam, rho, 200)
     assert above[-1] > 1e-3
+
+
+def test_optimize_lambda_awgn_recovers_known_optima():
+    """The AWGN (GA) LP designer mirrors the BEC one: dv_max=3 recovers
+    (3,6)-regular and dv_max=4 recovers the (1/3)x+(2/3)x^3 pair (which
+    is therefore optimal at dv_max=4 on BOTH channels); dv_max=6 climbs
+    to sigma* ~ 0.920, verified by the irregular GA threshold."""
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        awgn_threshold_sigma_ga, design_rate,
+        irregular_awgn_threshold_sigma_ga, optimize_lambda_awgn_for_rate)
+
+    rho = [0, 0, 0, 0, 0, 1.0]
+    lam3, sig3 = optimize_lambda_awgn_for_rate(rho, 3, 0.5)
+    assert sig3 == pytest.approx(awgn_threshold_sigma_ga(3, 6), abs=3e-3)
+    assert lam3[2] > 0.99
+
+    lam4, sig4 = optimize_lambda_awgn_for_rate(rho, 4, 0.5)
+    assert lam4[1] == pytest.approx(1 / 3, abs=5e-3)
+    assert lam4[3] == pytest.approx(2 / 3, abs=5e-3)
+    assert sig4 == pytest.approx(0.904, abs=3e-3)
+
+    lam6, sig6 = optimize_lambda_awgn_for_rate(rho, 6, 0.5)
+    lam6 = [float(v) for v in lam6]
+    assert design_rate(lam6, rho) == pytest.approx(0.5, abs=2e-3)
+    ver = irregular_awgn_threshold_sigma_ga(lam6, rho)
+    assert ver == pytest.approx(sig6, abs=3e-3)
+    assert ver > sig4 + 0.01
