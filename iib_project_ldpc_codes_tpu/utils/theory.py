@@ -635,6 +635,10 @@ def awgn_threshold_sigma_ga(dv: int, dc: int, precision: float = 1e-5
         return False
 
     lo, hi = 0.5, 1.5
+    if not converges(lo):
+        raise ValueError(
+            f"threshold below the bisection bracket (sigma={lo} already "
+            "fails to converge); widen the bracket for this ensemble")
     while hi - lo > precision:
         mid = 0.5 * (lo + hi)
         if converges(mid):
@@ -918,6 +922,10 @@ def awgn_threshold_sigma_minsum(dv: int, dc: int,
         return pe[-1] < 1e-5
 
     lo, hi = 0.5, 1.2
+    if not converges(lo):
+        raise ValueError(
+            f"threshold below the bisection bracket (sigma={lo} already "
+            "fails); widen the bracket for this ensemble")
     while hi - lo > precision:
         mid = 0.5 * (lo + hi)
         if converges(mid):
@@ -946,26 +954,31 @@ def irregular_gallager_b_density_evolution(crossover_prob: float, lam, rho,
     x = p0
     out = [x]
     for _ in range(iterations):
-        u = 0.5 * (1.0 - _poly_val(rho, 1.0 - 2.0 * x))
-        new_x = 0.0
-        for i, li in enumerate(lam):
-            if li == 0.0:
-                continue
-            others = i  # degree i+1 variable: i extrinsic inputs
-            if others == 0:
-                new_x += li * p0
-                continue
-            bt = others if b is None else min(b, others)
-            flip_good = sum(
-                math.comb(others, j) * u ** j * (1 - u) ** (others - j)
-                for j in range(bt, others + 1))
-            stay_bad = sum(
-                math.comb(others, j) * (1 - u) ** j * u ** (others - j)
-                for j in range(0, bt))
-            new_x += li * ((1.0 - p0) * flip_good + p0 * stay_bad)
-        x = new_x
+        x = _irregular_gallager_b_step(p0, x, lam, rho, b)
         out.append(x)
     return out
+
+
+def _irregular_gallager_b_step(p0: float, x: float, lam, rho,
+                               b: int | None) -> float:
+    """One edge-averaged irregular Gallager-B step (lam/rho pre-checked;
+    _poly_check guarantees no degree-1 edge mass, so every active degree
+    has >= 1 extrinsic input)."""
+    u = 0.5 * (1.0 - _poly_val(rho, 1.0 - 2.0 * x))
+    new_x = 0.0
+    for i, li in enumerate(lam):
+        if li == 0.0:
+            continue
+        others = i  # degree i+1 variable: i extrinsic inputs
+        bt = others if b is None else min(b, others)
+        flip_good = sum(
+            math.comb(others, j) * u ** j * (1 - u) ** (others - j)
+            for j in range(bt, others + 1))
+        stay_bad = sum(
+            math.comb(others, j) * (1 - u) ** j * u ** (others - j)
+            for j in range(0, bt))
+        new_x += li * ((1.0 - p0) * flip_good + p0 * stay_bad)
+    return new_x
 
 
 def irregular_gallager_b_threshold(lam, rho, b: int | None = None,
@@ -973,29 +986,13 @@ def irregular_gallager_b_threshold(lam, rho, b: int | None = None,
     """BSC crossover threshold of Gallager-B on the (lambda, rho)
     ensemble by bisection (degenerate distributions reproduce
     :func:`gallager_b_threshold` / :func:`gallager_a_threshold`)."""
+    lam_c = _poly_check(lam, "lam")
+    rho_c = _poly_check(rho, "rho")
+
     def dies_out(p0: float) -> bool:
-        lam_c = _poly_check(lam, "lam")
-        rho_c = _poly_check(rho, "rho")
         x = p0
         for _ in range(20_000):
-            u = 0.5 * (1.0 - _poly_val(rho_c, 1.0 - 2.0 * x))
-            new_x = 0.0
-            for i, li in enumerate(lam_c):
-                if li == 0.0:
-                    continue
-                others = i
-                if others == 0:
-                    new_x += li * p0
-                    continue
-                bt = others if b is None else min(b, others)
-                flip_good = sum(
-                    math.comb(others, j) * u ** j
-                    * (1 - u) ** (others - j)
-                    for j in range(bt, others + 1))
-                stay_bad = sum(
-                    math.comb(others, j) * (1 - u) ** j
-                    * u ** (others - j) for j in range(0, bt))
-                new_x += li * ((1.0 - p0) * flip_good + p0 * stay_bad)
+            new_x = _irregular_gallager_b_step(p0, x, lam_c, rho_c, b)
             if new_x < 1e-12:
                 return True
             if abs(new_x - x) < 1e-15:
@@ -1073,6 +1070,10 @@ def irregular_awgn_threshold_sigma_ga(lam, rho,
         return False
 
     lo, hi = 0.5, 1.5
+    if not converges(lo):
+        raise ValueError(
+            f"threshold below the bisection bracket (sigma={lo} already "
+            "fails); widen the bracket for this ensemble")
     while hi - lo > precision:
         mid = 0.5 * (lo + hi)
         if converges(mid):
@@ -1110,6 +1111,16 @@ def optimize_lambda_awgn(rho, dv_max: int, sigma: float,
         a_ub.append([_phi_ga(m0 + (d - 1) * mu)
                      for d in range(2, dv_max + 1)])
         b_ub.append(s)
+    # exact BiAWGN stability condition: lambda'(0) rho'(1) < e^{1/(2 s^2)}
+    # -- the GA grid alone cannot see it (as s -> 0, mu -> inf and every
+    # phi(m0 + (d-1) mu) -> 0, so nothing bounds lambda2), and without it
+    # the LP returns ensembles with an unstable x=0 fixed point, i.e. a
+    # BER floor the claimed threshold does not predict
+    rho_d1 = float(sum(j * rj for j, rj in enumerate(rho)))
+    row = [0.0] * ndeg
+    row[0] = rho_d1
+    a_ub.append(row)
+    b_ub.append(math.exp(1.0 / (2.0 * sigma * sigma)))
     a_eq = [[1.0] * ndeg]
     res = linprog(c, A_ub=np.asarray(a_ub), b_ub=np.asarray(b_ub),
                   A_eq=np.asarray(a_eq), b_eq=[1.0],
