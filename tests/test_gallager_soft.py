@@ -450,3 +450,26 @@ def test_normalized_minsum_mc_matches_its_computed_threshold():
     norm = run(0.8)
     assert plain.bit_error_rate > 5e-3          # stuck above 0.823
     assert norm.bit_error_rate < 0.2 * plain.bit_error_rate
+
+
+def test_int8_minsum_mc_brackets_its_population_de_threshold():
+    """int8 min-sum Monte Carlo brackets the decoder's own computed
+    population-DE threshold sigma* = 0.822: BER collapses below it and
+    blows up above (the production decoder's anchor, closing config 3's
+    last loop in-tree)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    def run(sigma):
+        cfg = SimulationConfig(channel="AWGN", channel_param=sigma,
+                               n=2048, dv=3, dc=6, decoder="minsum",
+                               soft_msg_dtype="int8", iterations=60,
+                               num_tests=512, batch=256,
+                               max_block_errors=10**9, seed=61,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    lo = run(0.822 - 0.05)
+    hi = run(0.822 + 0.05)
+    assert lo.bit_error_rate < 2e-3
+    assert hi.bit_error_rate > 10 * max(lo.bit_error_rate, 1e-5)

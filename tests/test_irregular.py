@@ -790,3 +790,33 @@ def test_gallager_irregular_matches_numpy_oracle_mixed_degrees(threshold):
     got = np.asarray(unpack_bits(res.decided))[:, 0].astype(int)
     want = numpy_gallager_irregular(h, received, 8, threshold)
     assert (got == want).all()
+
+
+def test_awgn_designed_ensemble_beats_hand_pair_in_mc():
+    """The AWGN-LP-designed dv_max=6 ensemble beats the dv_max=4 pair in
+    AWGN Monte Carlo at a sigma between their GA thresholds (0.904 and
+    0.920) -- the AWGN design loop closed in simulation, like the BEC
+    ladder."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.theory import (
+        optimize_lambda_awgn_for_rate)
+
+    lam6, _ = optimize_lambda_awgn_for_rate(RHO, 6, 0.5)
+    lam6 = [float(v) for v in lam6]
+
+    def run(lam):
+        cfg = SimulationConfig(channel="AWGN", channel_param=0.91,
+                               n=2048, lam=lam, rho=RHO,
+                               decoder="sumproduct", iterations=80,
+                               num_tests=1024, batch=512,
+                               max_block_errors=10**9, seed=59,
+                               code_mode="ensemble")
+        return run_simulation(cfg)
+
+    designed = run(lam6)
+    hand = run(LAM)
+    # the GA thresholds are only 0.016 apart, so at n=2048 the
+    # finite-length waterfalls overlap; measured ratio ~0.69 with ~1e5
+    # bit errors per side (MC noise << the margin)
+    assert designed.bit_error_rate < 0.8 * hand.bit_error_rate
