@@ -76,6 +76,18 @@ def match_until_simple(key: jax.Array, E: int, draw_perm, dup_info,
         pass.  Swaps preserve the permutation property; the expected
         duplicate count is ~ (dv-1)(dc-1)/2 regardless of n, so the
         expected pass count is O(1).
+      * ``"raw"`` -- no simplicity conditioning: the uniform
+        configuration-model matching, multi-edges and all.  This is the
+        ensemble the exact stopping-set analysis averages over
+        (utils/stopping_sets.py; test_finite_length_analysis.py:68-69
+        normalises by ALL (v dv)-socket matchings), so Monte Carlo
+        validation against those exact numbers must use it: conditioning
+        on simplicity removes multi-edge obstructions and biases small-n
+        BER low by O(1/n) (measured -24% at n=100, -4% at n=512 --
+        docs/VALIDATION.md).  The per-socket decode kernels implement
+        configuration-model semantics verbatim (a check touching an
+        erased variable twice sees two erased sockets), so no decoder
+        change is needed.
 
     Structurally: single ``while_loop``s whose state all flows through
     the carry -- the formulation jax 0.9.0's shard_map varying-manual-
@@ -87,6 +99,9 @@ def match_until_simple(key: jax.Array, E: int, draw_perm, dup_info,
     """
     key, sub = jax.random.split(key)
     perm = draw_perm(sub)
+
+    if method == "raw":
+        return perm
 
     if method == "reject":
         def cond(carry):
@@ -185,9 +200,16 @@ def code_for_config(cfg):
     import jax
 
     if getattr(cfg, "lam", None) is not None:
+        import hashlib
+
         from .irregular import IrregularEnsembleSpec
 
-        fold = hash((tuple(cfg.lam), tuple(cfg.rho))) & 0x7FFFFFFF
+        # platform-independent digest of the degree distributions: Python
+        # hash() widths differ across interpreter builds, which would let
+        # heterogeneous multi-host jobs derive different "fixed" codes
+        digest = hashlib.sha256(
+            repr((tuple(cfg.lam), tuple(cfg.rho))).encode()).digest()
+        fold = int.from_bytes(digest[:4], "little") & 0x7FFFFFFF
         code_key = jax.random.fold_in(
             jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),
             fold)

@@ -143,7 +143,19 @@ def degree_sequences_from_lam_rho(n: int, lam: Sequence[float],
     step = 1 if diff > 0 else -1
     i = 0
     order = np.argsort(chk_degrees) if step > 0 else np.argsort(-chk_degrees)
+    diff_at_sweep_start = diff
     while diff != 0:
+        # a full sweep of m candidates without progress means the residue
+        # is unabsorbable (every check already at degree 1 while diff < 0)
+        # -- fail loudly instead of spinning (e.g. rho so light that
+        # E < m, which no valid degree sequence can realise)
+        if i and i % m == 0:
+            if diff == diff_at_sweep_start:
+                raise ValueError(
+                    f"cannot absorb edge residue {diff} into {m} checks "
+                    "(degree floor 1); (lam, rho) is unrealisable at "
+                    f"this n")
+            diff_at_sweep_start = diff
         c = order[i % m]
         nd = chk_degrees[c] + step
         if 1 <= nd:

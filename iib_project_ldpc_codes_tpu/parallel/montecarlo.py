@@ -392,8 +392,19 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     bit_errors_sq = 0.0
     opt_block = opt_bit = 0
     stopped_by = "num_tests"
+    # ML is O(n^3) host work per trial; chunks larger than 512 only grow
+    # the native call's working set without amortising anything more, so
+    # the driver caps them -- loudly, so a cfg.batch=4096 user is not
+    # silently downgraded (see SimulationConfig.batch docs).
     batch = min(cfg.batch, 512)
     batch -= batch % 32
+    if batch < cfg.batch:
+        import warnings
+
+        warnings.warn(
+            f"ml/both driver caps the chunk batch at {batch} trials "
+            f"(cfg.batch={cfg.batch}); statistics are unaffected, only "
+            "chunk granularity", stacklevel=2)
 
     if run_bp and ensemble:
         # per-trial fresh codes: vmap the naive decoder over the stacked

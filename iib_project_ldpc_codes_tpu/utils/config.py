@@ -60,7 +60,11 @@ class SimulationConfig:
 
     # Monte Carlo execution
     seed: int = 0
-    batch: int = 1024             # trials per chunk (multiple of 32)
+    # Trials per chunk (multiple of 32).  The ml/both host driver caps
+    # its chunks at 512 trials regardless (ML is O(n^3) host work; the
+    # driver warns when the cap engages) -- larger values only affect the
+    # device decoders.
+    batch: int = 1024
     # Shard the Tanner graph (check set) across the mesh instead of the
     # trial batch -- Monte Carlo statistics at huge block lengths
     # (n ~ 10^6, parallel/edge_sharded.py).  Fixed-code BEC+bp only; the

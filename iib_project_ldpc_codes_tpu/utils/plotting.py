@@ -11,7 +11,7 @@ save or show.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 import numpy as np
 
@@ -30,9 +30,17 @@ def _plt():
 def plot_error_vs_iteration(results: Sequence[SimulationResult],
                             overlay_de: bool = True,
                             finite_length_de: bool = False,
-                            logy: bool = True):
+                            logy: bool = True,
+                            exact_values: Mapping | None = None):
     """Average bit erasure rate vs BP iteration, with DE overlay
-    (tools/plotting.py:26-113; DE curve at :86)."""
+    (tools/plotting.py:26-113; DE curve at :86).
+
+    ``exact_values`` maps (n, erasure_prob) -> exact ensemble-average BER
+    from the stopping-set analysis (utils.stopping_sets); matching
+    results get a dashed hline -- the overlay the reference hardcodes at
+    tools/plotting.py:50-71, here computed in-repo
+    (StoppingSetAnalysis(n, dv, dc, X=1).bit_error_bulk(eps)).
+    """
     plt = _plt()
     fig, ax = plt.subplots(figsize=(7, 5))
     for r in results:
@@ -50,6 +58,12 @@ def plot_error_vs_iteration(results: Sequence[SimulationResult],
                     cfg.channel_param, cfg.iterations, cfg.dv, cfg.dc)
             ax.plot(de, "--", lw=1,
                     label=f"DE eps={cfg.channel_param}")
+        if exact_values:
+            v = exact_values.get((cfg.n, cfg.channel_param))
+            if v is not None:
+                ax.axhline(v, ls="-.", lw=1, alpha=0.8,
+                           label=f"exact analysis n={cfg.n} "
+                                 f"eps={cfg.channel_param}")
     if logy:
         ax.set_yscale("log")
     ax.set_xlabel("iteration")
@@ -62,10 +76,16 @@ def plot_error_vs_iteration(results: Sequence[SimulationResult],
 def plot_error_vs_erasure_prob(results: Sequence[SimulationResult],
                                metric: str = "block",
                                overlay_waterfall: bool = True,
-                               finite_size_shift: bool = False):
+                               finite_size_shift: bool = False,
+                               exact_values: Mapping | None = None):
     """BER/FER vs channel erasure probability with the scaling-law
     waterfall overlay (tools/plotting.py:206-336 +
-    finite_length_scaling_calculation.py:41-45)."""
+    finite_length_scaling_calculation.py:41-45).
+
+    ``exact_values`` maps (n, erasure_prob) -> exact ensemble-average
+    bit error (stopping-set analysis); plotted as star markers on the
+    ``metric="bit"`` curves (the reference's hardcoded comparison values,
+    tools/plotting.py:50-71)."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(7, 5))
     by_n = {}
@@ -89,6 +109,12 @@ def plot_error_vs_erasure_prob(results: Sequence[SimulationResult],
                else r.optimal_bit_error_rate for r in rs]
         if any(o is not None for o in opt):
             ax.plot(eps, opt, "s:", label=f"ML n={n}")
+        if exact_values and metric == "bit":
+            pts = [(e, exact_values[(n, e)]) for e in eps
+                   if (n, e) in exact_values]
+            if pts:
+                ax.plot(*zip(*pts), "k*", ms=10,
+                        label=f"exact analysis n={n}")
     ax.set_yscale("log")
     ax.set_xlabel("erasure probability")
     ax.set_ylabel(f"{metric}-error rate")

@@ -128,12 +128,14 @@ def ber_ci(result: SimulationResult, alpha: float = 0.05
         s1 = float(result.bit_errors)
         if s1 == 0.0:
             # Zero observed bit errors says nothing with certainty: use the
-            # rule-of-three upper bound at block level (P(block error) <~
-            # 3/T at 95%) scaled by the worst per-block error fraction --
-            # the channel fraction when recorded, else a whole block.
+            # generalised rule-of-three upper bound at block level
+            # (Clopper-Pearson with 0 successes: P <= ln(2/alpha)/T, which
+            # is the classic 3/T at alpha=0.05) scaled by the worst
+            # per-block error fraction -- the channel fraction when
+            # recorded, else a whole block.
             max_frac = max(result.error_rate_per_iteration[0]
                            if result.error_rate_per_iteration else 1.0, 1 / n)
-            return 0.0, 3.0 / trials * max_frac
+            return 0.0, math.log(2.0 / alpha) / trials * max_frac
         var_e = (float(result.bit_errors_sq) - s1 * s1 / trials) \
             / (trials - 1)
         var_e = max(var_e, 0.0)

@@ -117,6 +117,7 @@ class StoppingSetAnalysis:
         self.k = num_checks if num_checks is not None else (n * dv) // dc
         self.X = X
         self._A = lru_cache(maxsize=None)(self._A_impl)
+        self._B = lru_cache(maxsize=None)(self._B_impl)
 
     def _A_impl(self, v: int, t: int, s: int) -> Fraction:
         """A(v,t,s) (test_finite_length_analysis.py:26-58), exact."""
@@ -162,14 +163,30 @@ class StoppingSetAnalysis:
 
     def B(self, v: int) -> Fraction:
         """Weighted constellation count over all (t, s) splits
-        (test_finite_length_analysis.py:60-66)."""
-        k = self.k
+        (test_finite_length_analysis.py:60-66).  Cached per weight, so
+        ``bit_error`` at many erasure probabilities reuses the heavy
+        combinatorics.
+
+        Loop pruning (vs the reference's full k x k sweep): a
+        constellation on v variables has exactly v*dv edges, the t
+        fully-covered checks absorb >= 2 each and the s singly-covered
+        checks exactly 1, so A(v,t,s) == 0 unless 2t + s <= v*dv --
+        verified against the unpruned sweep on the small-n parity anchors
+        (tests/test_stopping_sets.py).  This turns B at reference scale
+        (n ~ 10^3, k ~ 500) from O(k^2) into O((v dv)^2) recursion roots
+        per weight.
+        """
+        return self._B(v)
+
+    def _B_impl(self, v: int) -> Fraction:
+        edges = v * self.dv
         acc = Fraction(0)
-        for t in range(k + 1):
-            for s in range(k - t + 1):
+        for t in range(min(self.k, edges // 2) + 1):
+            s_max = min(self.k - t, edges - 2 * t)
+            for s in range(s_max + 1):
                 a = self._A(v, t, s)
                 if a:
-                    acc += math.comb(k, t + s) * a
+                    acc += math.comb(self.k, t + s) * a
         return acc * (math.factorial(v) * math.factorial(self.dv) ** v)
 
     def T(self, v: int) -> int:
@@ -202,6 +219,53 @@ class StoppingSetAnalysis:
             total += value
             per_weight.append(_frac_to_float(value))
         return _frac_to_float(total), per_weight
+
+
+    def bit_error_bulk(self, erasure_prob, tail_mass: float = 1e-12
+                       ) -> Tuple[float, float]:
+        """Exact ensemble-average error restricted to the binomial bulk of
+        erasure weights, with a certified truncation bound.
+
+        The full sum (``bit_error``) weights B(e)/T(e) by the
+        Binomial(n, eps) pmf; at reference scale (n ~ 512-1024,
+        test_finite_length_analysis.py:92-109 runs e = 0..n) the mass
+        sits at e ~ n*eps, so the sum only needs the pmf bulk.  Since
+        0 <= B(e)/T(e) <= 1 (a weighted count of constellations over the
+        total configuration count, weight (v/n)^X <= 1), discarding
+        weights whose total pmf is ``tail_mass`` changes the result by at
+        most ``tail_mass``.  Cost is set by the bulk's upper edge, not n:
+        the A recursion only runs up to v = e_hi.
+
+        Returns ``(value, bound)`` with value <= true <= value + bound.
+        """
+        n = self.n
+        eps = float(erasure_prob)
+        # exact-enough binomial pmf in log space for window selection
+        logpmf = [math.lgamma(n + 1) - math.lgamma(e + 1)
+                  - math.lgamma(n - e + 1)
+                  + e * math.log(eps) + (n - e) * math.log1p(-eps)
+                  for e in range(n + 1)]
+        pmf = [math.exp(v) for v in logpmf]
+        # grow the window outward from the mode until the discarded mass
+        # is safely below tail_mass (x0.1 margin for float pmf error)
+        order = sorted(range(n + 1), key=lambda e: -pmf[e])
+        keep: set = set()
+        discarded = 1.0
+        for e in order:
+            keep.add(e)
+            discarded -= pmf[e]
+            if discarded < tail_mass * 0.1:
+                break
+        e_lo, e_hi = min(keep), max(keep)
+        eps_f = Fraction(erasure_prob).limit_denominator(10 ** 9)
+        total = Fraction(0)
+        for e in range(e_lo, e_hi + 1):
+            b = self.B(e)
+            if b == 0:
+                continue
+            total += (b * eps_f ** e * (1 - eps_f) ** (n - e)
+                      * math.comb(n, e)) / self.T(e)
+        return _frac_to_float(total), tail_mass
 
 
 def _frac_to_float(fr: Fraction) -> float:

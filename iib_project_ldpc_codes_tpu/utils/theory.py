@@ -701,6 +701,10 @@ def awgn_threshold_sigma_population(dv: int, dc: int,
         return pe[-1] < 1e-5
 
     lo, hi = 0.6, 1.2
+    if not converges(lo):
+        raise ValueError(
+            f"threshold below the bisection bracket (sigma={lo} already "
+            "fails to converge); widen the bracket for this ensemble")
     while hi - lo > precision:
         mid = 0.5 * (lo + hi)
         if converges(mid):

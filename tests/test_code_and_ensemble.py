@@ -93,3 +93,24 @@ def test_degree_distribution_uniformity():
     mean = reps * dc / n
     assert abs(counts.mean() - mean) < 1e-9
     assert counts.std() < 5 * np.sqrt(mean)
+
+
+def test_raw_sampler_is_unconditioned_configuration_model():
+    """method='raw' must be the plain uniform matching: exact degrees,
+    reproducible by seed, and -- unlike reject/repair -- multi-edges
+    present at the configuration-model rate (P[simple] ~
+    exp(-(dv-1)(dc-1)/2) ~ 0.7% for (3,6): nearly every draw has one)."""
+    n, dv, dc = 120, 3, 6
+    num_with_dup = 0
+    for s in range(20):
+        code = sample_code(jax.random.key(s), n, dv, dc, method="raw")
+        chk = np.asarray(code.chk_to_var)
+        assert chk.shape == (n * dv // dc, dc)
+        # degree exactness still holds (it's a permutation matching)
+        assert (np.bincount(chk.reshape(-1), minlength=n) == dv).all()
+        if any(len(set(row)) < dc for row in chk.tolist()):
+            num_with_dup += 1
+    assert num_with_dup >= 15   # overwhelmingly likely each draw has one
+    a = sample_code(jax.random.key(3), n, dv, dc, method="raw")
+    b = sample_code(jax.random.key(3), n, dv, dc, method="raw")
+    assert (np.asarray(a.chk_to_var) == np.asarray(b.chk_to_var)).all()

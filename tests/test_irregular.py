@@ -820,3 +820,43 @@ def test_awgn_designed_ensemble_beats_hand_pair_in_mc():
     # finite-length waterfalls overlap; measured ratio ~0.69 with ~1e5
     # bit errors per side (MC noise << the margin)
     assert designed.bit_error_rate < 0.8 * hand.bit_error_rate
+
+
+def test_degree_sequence_unabsorbable_residue_raises():
+    """A check-side residue that cannot be absorbed (every check already
+    at the degree floor) must raise, not spin forever.  Reachable only
+    through un-normalised rho (sum > 1 inflates the check count past the
+    edge count); normalised distributions always absorb."""
+    with pytest.raises(ValueError, match="cannot absorb"):
+        degree_sequences_from_lam_rho(8, [0, 1.0], [0, 4.0])
+
+
+def test_code_for_config_digest_is_platform_independent():
+    """The irregular fixed-code key folds a sha256 digest of (lam, rho),
+    not Python hash() (which differs across interpreter builds and would
+    break multi-host no-broadcast determinism)."""
+    import hashlib
+
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.4, n=96,
+                           lam=LAM, rho=RHO, decoder="bp",
+                           code_mode="fixed", code_number=5)
+    c1 = code_for_config(cfg)
+    c2 = code_for_config(cfg)
+    assert np.array_equal(np.asarray(c1.chk_to_var),
+                          np.asarray(c2.chk_to_var))
+    # the fold constant is the first 4 little-endian bytes of the sha256
+    # of repr((lam, rho)) -- pin it so a refactor cannot silently change
+    # every previously-derived "fixed" irregular code
+    digest = hashlib.sha256(
+        repr((tuple(cfg.lam), tuple(cfg.rho))).encode()).digest()
+    expected_fold = int.from_bytes(digest[:4], "little") & 0x7FFFFFFF
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(cfg.code_number), cfg.n),
+        expected_fold)
+    spec = IrregularEnsembleSpec.from_lam_rho(cfg.n, cfg.lam, cfg.rho)
+    ref = spec.sample(key, cfg.sampler)
+    assert np.array_equal(np.asarray(c1.chk_to_var),
+                          np.asarray(ref.chk_to_var))

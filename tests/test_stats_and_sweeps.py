@@ -273,6 +273,23 @@ def test_ber_ci_zero_errors_rule_of_three():
     assert compare_ber(res, hi / 2).consistent
 
 
+def test_ber_ci_zero_errors_respects_alpha():
+    """The zero-error upper bound must scale with alpha (generalised rule
+    of three, ln(2/alpha)/T), not hardcode the 95% value."""
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+
+    res = _fake_result([0] * 500, 1024)
+    hi95 = ber_ci(res, alpha=0.05)[1]
+    hi99 = ber_ci(res, alpha=0.01)[1]
+    assert hi99 > hi95  # stricter confidence -> wider upper bound
+    assert hi99 / hi95 == pytest.approx(
+        math.log(2 / 0.01) / math.log(2 / 0.05), rel=1e-9)
+    # alpha=0.05 reproduces ln(40)/T ~= 3.7/T (the classic rule of three
+    # up to the exact CP constant), scaled by the recorded channel
+    # fraction max_frac = 0.4
+    assert hi95 == pytest.approx(math.log(40.0) / 500 * 0.4, rel=1e-9)
+
+
 def test_cluster_ci_widens_under_per_code_correlation():
     """Ensemble-mode CI uses the per-code cluster variance: with strongly
     correlated trials within a code the clustered interval must be wider

@@ -129,3 +129,75 @@ def test_A_s0_base_case():
     want = Fraction(total_stopping_sets(v, 3, 6, t)) / (
         math.factorial(v) * math.factorial(3) ** v)
     assert a._A(v, t, 0) == want
+
+
+def test_bit_error_reference_value_anchors():
+    """Full-precision parity with the reference's hardcoded finite-length
+    analysis values (tools/plotting.py:50-56: n=100 (3,6) ensemble,
+    'Finite length analysis n=100' hlines)."""
+    a = StoppingSetAnalysis(100, 3, 6, X=1)
+    for eps, want in [(0.3, 0.00927103257501793),
+                      (0.35, 0.0469878894379349),
+                      (0.4, 0.145904820551055)]:
+        total, _ = a.bit_error(eps)
+        assert total == pytest.approx(want, rel=1e-12), eps
+
+
+def test_bit_error_bulk_matches_full():
+    """The binomial-bulk window must reproduce the full 0..n sum within
+    its certified truncation bound."""
+    a = StoppingSetAnalysis(100, 3, 6, X=1)
+    for eps in (0.3, 0.4):
+        full, _ = a.bit_error(eps)
+        windowed, bound = a.bit_error_bulk(eps)
+        assert windowed <= full + 1e-15
+        assert full - windowed <= bound
+
+
+def test_B_prune_matches_unpruned_sweep():
+    """The 2t + s <= v*dv loop prune drops only zero terms: compare with
+    the reference's full k x k sweep on a small ensemble."""
+    a = StoppingSetAnalysis(16, 3, 6, X=1)
+    for v in (1, 2, 3, 4):
+        k = a.k
+        acc = Fraction(0)
+        for t in range(k + 1):
+            for s in range(k - t + 1):
+                val = a._A(v, t, s)
+                if val:
+                    # every nonzero term must be inside the pruned window
+                    assert 2 * t + s <= v * a.dv, (v, t, s)
+                    acc += math.comb(k, t + s) * val
+        acc *= math.factorial(v) * math.factorial(a.dv) ** v
+        assert acc == a.B(v)
+
+
+def test_exact_vs_monte_carlo_raw_ensemble():
+    """SURVEY section 4 method 4, closed end-to-end: the exact
+    ensemble-average BER (stopping-set enumeration) must agree with
+    fresh-code Monte Carlo at a real (n, eps) -- the comparison the
+    reference hardcodes at tools/plotting.py:50-56 against
+    test_finite_length_analysis.py output.
+
+    The analysis averages the RAW configuration ensemble (its T(v)
+    normaliser counts all socket matchings, multi-edges included), so
+    the Monte Carlo must sample with method='raw'; the simple-conditioned
+    samplers are measurably biased low at this n (~-24%)."""
+    import jax
+
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+
+    exact = 0.00927103257501793   # n=100 eps=0.3, checked above
+    cfg = SimulationConfig(channel="BEC", channel_param=0.3, n=100,
+                           dv=3, dc=6, decoder="bp", iterations=60,
+                           num_tests=64000, batch=3200,
+                           codes_per_chunk=100, sampler="raw",
+                           max_block_errors=10 ** 9, seed=21,
+                           code_mode="ensemble")
+    res = run_simulation(cfg)
+    lo, hi = ber_ci(res)
+    assert lo <= exact <= hi, (res.bit_error_rate, lo, hi, exact)
+    # and the interval is tight enough for the test to mean something
+    assert (hi - lo) / exact < 0.25
