@@ -71,10 +71,64 @@ class Encoder:
         return out.reshape(info_bits.shape[:-1] + (self.n,))
 
 
-def make_encoder(code: LDPCCode, h: Optional[np.ndarray] = None) -> Encoder:
+def encoder_planes(enc: Encoder):
+    """Device constants for :func:`encode_packed`: (mask, free, pivots).
+
+    ``mask`` is bool[rank, k_eff] (parity bit r = XOR of the selected
+    info bits), unpacked from the host encoder's uint64 rows once.
+    """
+    import jax.numpy as jnp
+
+    rank, k_eff = enc.rank, enc.k_eff
+    mask = np.zeros((rank, k_eff), bool)
+    for j in range(k_eff):
+        mask[:, j] = (enc.parity_map[:, j // _WORD]
+                      >> np.uint64(j % _WORD)) & np.uint64(1) != 0
+    return (jnp.asarray(mask), jnp.asarray(enc.free_cols, jnp.int32),
+            jnp.asarray(enc.pivot_cols, jnp.int32))
+
+
+def encode_packed(planes, info: "jax.Array") -> "jax.Array":
+    """Encode 32*W codewords on device from packed information planes.
+
+    ``planes`` from :func:`encoder_planes`; ``info`` is uint32[k_eff, W]
+    (bit lane b of word w = information word of trial 32w+b).  Returns
+    uint32[n, W] packed codewords.  GF(2) parity accumulation is a
+    ``lax.scan`` over info rows (memory-light: [rank, W] carry), jittable
+    and vmap-able -- the device realisation of the reference's missing
+    ``coding_matrix`` encode (simulator.py:61-64) for nonzero-codeword
+    Monte Carlo (SimulationConfig.transmit="random").
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mask, free, pivots = planes
+    rank, k_eff = mask.shape
+    n = len(free) + len(pivots)
+    info = jnp.asarray(info, jnp.uint32)
+    w = info.shape[1]
+
+    def step(acc, row_j):
+        m_j, bits_j = row_j           # bool[rank], uint32[W]
+        return acc ^ (jnp.where(m_j, jnp.uint32(0xFFFFFFFF),
+                                jnp.uint32(0))[:, None] & bits_j[None, :]), None
+
+    parity, _ = jax.lax.scan(step, jnp.zeros((rank, w), jnp.uint32),
+                             (mask.T, info))
+    out = jnp.zeros((n, w), jnp.uint32)
+    out = out.at[free].set(info)
+    out = out.at[pivots].set(parity)
+    return out
+
+
+def make_encoder(code: Optional[LDPCCode] = None,
+                 h: Optional[np.ndarray] = None) -> Encoder:
     """Derive the systematic encoder from H (the reference's missing
-    ``coding_matrix``)."""
+    ``coding_matrix``).  Pass ``h`` directly for non-regular containers
+    (e.g. ``models.irregular.dense_parity_check_irregular`` output)."""
     if h is None:
+        if code is None:
+            raise ValueError("need a code or a dense H")
         h = dense_parity_check(code)
     h = np.asarray(h, bool)
     m, n = h.shape

@@ -69,20 +69,23 @@ _INT8_MAX = 127
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SoftBPResult:
-    hard: jax.Array          # bool[n, B] hard decisions (True = bit 1)
-    posterior: jax.Array     # f32[n, B] posterior LLRs
-    satisfied: jax.Array     # bool[B] all checks satisfied
-    error_totals: jax.Array  # int32[max_iters+1] decision errors vs all-zero
+    # bool[n, B]: hard decisions (True = bit 1) under the default
+    # all-zero transmit; with tx_bits given, decision-vs-transmit ERROR
+    # indicators (decisions XOR tx) -- identical objects for all-zero.
+    hard: jax.Array
+    posterior: jax.Array     # f32[n, B] posterior LLRs (decision-space)
+    satisfied: jax.Array     # bool[B] all checks satisfied (decision-space)
+    error_totals: jax.Array  # int32[max_iters+1] errors vs the transmit
     iterations: jax.Array
 
     @property
     def bit_errors(self) -> jax.Array:
-        """int32[B] decision errors per trial (all-zero transmit)."""
+        """int32[B] decision errors per trial (vs the transmit)."""
         return jnp.sum(self.hard, axis=0).astype(jnp.int32)
 
     @property
     def failed(self) -> jax.Array:
-        """bool[B]: any decision error (all-zero transmit)."""
+        """bool[B]: any decision error (vs the transmit)."""
         return jnp.any(self.hard, axis=0)
 
 
@@ -225,13 +228,21 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
 
 
 def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
-                 int8_scale, to_var_idx, chk_sock_mask=None
-                 ) -> SoftBPResult:
+                 int8_scale, to_var_idx, chk_sock_mask=None,
+                 tx_bits=None) -> SoftBPResult:
     """Shared decode loop for the regular and irregular wrappers.
 
     ``code`` is any view exposing ``dv``/``dc``/``m``/``chk_to_var``;
     ``llr`` may contain phantom rows (pinned-LARGE; they never count as
     errors because their posterior stays positive).
+
+    ``tx_bits`` (bool[n, B], True = transmitted bit 1) switches error
+    accounting to the nonzero-codeword convention: ``error_totals`` and
+    the returned ``hard`` planes hold decision-vs-transmit ERROR
+    indicators (decisions XOR tx), so ``bit_errors``/``failed`` count
+    true errors; ``posterior`` and ``satisfied`` stay decision-space.
+    ``None`` keeps the reference's all-zero convention
+    (parallel_simulator.py:222), where the two coincide.
     """
     llr = jnp.asarray(llr, jnp.float32)
     quantised = jnp.dtype(msg_dtype) == jnp.int8
@@ -254,7 +265,12 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
     # bitops.with_vma_of) -- the body outputs are llr-derived.
     mcv0 = with_vma_of(jnp.zeros((code.dc * code.m, llr.shape[1]),
                                  msg_dtype), llr0)
-    count0 = jnp.sum(llr < 0).astype(jnp.int32)
+    if tx_bits is None:
+        as_err = lambda decisions: decisions
+    else:
+        tx = jnp.asarray(tx_bits, bool)
+        as_err = lambda decisions: decisions ^ tx
+    count0 = jnp.sum(as_err(llr < 0)).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
     def cond(carry):
@@ -269,7 +285,7 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
         # post_prev / sat_prev describe the posterior *entering* this
         # round (after `it` check updates); record its error count.
         errors = errors.at[it].set(
-            jnp.sum(post_prev < 0).astype(jnp.int32))
+            jnp.sum(as_err(post_prev < 0)).astype(jnp.int32))
         return (mcv, errors, it + 1, jnp.all(sat_prev))
 
     mcv, errors, it, _ = jax.lax.while_loop(
@@ -279,15 +295,16 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
 
     # reconstruct the final posterior from the check-resident state
     post = _posterior(code, llr0, mcv, to_var_idx, acc_dtype)
-    hard = post < 0
-    final_count = jnp.sum(hard).astype(jnp.int32)
+    decisions = post < 0
+    err = as_err(decisions)
+    final_count = jnp.sum(err).astype(jnp.int32)
     tail = jnp.arange(max_iters + 1) >= it
     errors = jnp.where(tail, final_count, errors)
     post_f32 = post.astype(jnp.float32)
     if quantised:
         post_f32 = post_f32 / int8_scale
-    return SoftBPResult(hard=hard, posterior=post_f32,
-                        satisfied=_syndrome_ok(code, hard),
+    return SoftBPResult(hard=err, posterior=post_f32,
+                        satisfied=_syndrome_ok(code, decisions),
                         error_totals=errors, iterations=it)
 
 
@@ -296,7 +313,8 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
 def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
                    method: str = "sumproduct", alpha: float = 1.0,
                    beta: float = 0.0, msg_dtype=jnp.float32,
-                   int8_scale: float = 4.0) -> SoftBPResult:
+                   int8_scale: float = 4.0,
+                   tx_bits: jax.Array | None = None) -> SoftBPResult:
     """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
     (positive favours bit 0; ``AWGN.llr`` output).
 
@@ -313,9 +331,13 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     gather traffic, f32 check-update math), or int8 -- the quantised
     production min-sum (``method`` must be "minsum"; ``int8_scale`` LSBs
     per LLR unit, int16 accumulation, posterior returned de-quantised).
+
+    ``tx_bits`` (bool[n, B]) enables nonzero-codeword error accounting --
+    see :func:`_soft_decode`.
     """
     return _soft_decode(code, llr, max_iters, method, alpha, beta,
-                        msg_dtype, int8_scale, _soft_routing(code))
+                        msg_dtype, int8_scale, _soft_routing(code),
+                        tx_bits=tx_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -376,15 +398,24 @@ def _soft_routing_irregular(code):
 def soft_bp_decode_irregular(code, llr: jax.Array, max_iters: int,
                              method: str = "sumproduct", alpha: float = 1.0,
                              beta: float = 0.0, msg_dtype=jnp.float32,
-                             int8_scale: float = 4.0) -> SoftBPResult:
+                             int8_scale: float = 4.0,
+                             tx_bits: jax.Array | None = None
+                             ) -> SoftBPResult:
     """:func:`soft_bp_decode` for an :class:`..models.irregular
     .IrregularLDPCCode`; identical semantics, [n, B] outputs."""
     llr = jnp.asarray(llr, jnp.float32)
     view, to_var_idx, chk_sock_mask = _soft_routing_irregular(code)
     llr_pad = jnp.concatenate(
         [llr, jnp.full((1, llr.shape[1]), _PHANTOM_LLR, llr.dtype)], axis=0)
+    if tx_bits is not None:
+        # phantom row transmits 0 (its pinned-positive posterior never
+        # counts as an error either way)
+        tx_bits = jnp.concatenate(
+            [jnp.asarray(tx_bits, bool),
+             jnp.zeros((1, llr.shape[1]), bool)], axis=0)
     res = _soft_decode(view, llr_pad, max_iters, method, alpha, beta,
-                       msg_dtype, int8_scale, to_var_idx, chk_sock_mask)
+                       msg_dtype, int8_scale, to_var_idx, chk_sock_mask,
+                       tx_bits=tx_bits)
     return SoftBPResult(hard=res.hard[:-1], posterior=res.posterior[:-1],
                         satisfied=res.satisfied,
                         error_totals=res.error_totals,

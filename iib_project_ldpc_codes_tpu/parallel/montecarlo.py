@@ -37,7 +37,8 @@ from ..models.code import code_from_checks
 from ..models.irregular import IrregularLDPCCode
 from ..ops.bitops import bernoulli_packed
 from ..ops.erasure_bp import (bp_decode_packed, bp_decode_packed_allzero,
-                              bp_decode_packed_allzero_irregular)
+                              bp_decode_packed_allzero_irregular,
+                              bp_decode_packed_irregular)
 from ..utils.config import SimulationConfig
 from ..utils.results import SimulationResult
 from .mesh import BATCH_AXIS, make_mesh
@@ -77,9 +78,37 @@ def _allzero_decode(code, erased: jax.Array, iterations: int):
 
 def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
               iterations: int, erasure_prob,
-              expurgation: Optional[int]) -> ChunkStats:
-    """Decode 32*words all-zero-codeword trials on one code (regular
-    LDPCCode or IrregularLDPCCode)."""
+              expurgation: Optional[int],
+              enc_planes=None) -> ChunkStats:
+    """Decode 32*words trials on one code (regular LDPCCode or
+    IrregularLDPCCode).  ``enc_planes`` (from models.encode
+    .encoder_planes) switches to random-codeword transmit: fresh
+    information bits are encoded on device and errors are counted against
+    the true codeword -- unresolved erasures plus any miscopied known bit
+    (provably zero on the BEC; counted anyway so the invariant is
+    *measured*, not assumed)."""
+    if enc_planes is not None:
+        from ..models.encode import encode_packed
+        from ..ops.bitops import per_trial_counts
+
+        k_noise, k_info = jax.random.split(key)
+        erased = bernoulli_packed(k_noise, erasure_prob, (n, words))
+        k_eff = enc_planes[0].shape[1]
+        info = bernoulli_packed(k_info, 0.5, (k_eff, words))
+        tx = encode_packed(enc_planes, info)
+        decode = (bp_decode_packed_irregular
+                  if isinstance(code, IrregularLDPCCode)
+                  else bp_decode_packed)
+        res = decode(code, erased, tx, iterations)
+        err_planes = ~res.known | ((res.val ^ tx) & res.known)
+        per_trial = per_trial_counts(err_planes, axis=0)
+        return ChunkStats(
+            error_totals=res.error_totals,
+            block_errors=jnp.sum(per_trial > 0).astype(jnp.int32),
+            bit_errors=jnp.sum(per_trial).astype(jnp.int32),
+            excluded=jnp.int32(0),
+            bit_errors_sq=jnp.sum(jnp.square(per_trial
+                                             .astype(jnp.float32))))
     erased = bernoulli_packed(key, erasure_prob, (n, words))
     if expurgation is None:
         # all-zero transmit (the reference's only workload,
@@ -148,23 +177,39 @@ def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
 def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
                 iterations: int, channel: str, channel_param,
                 method: str, alpha: float = 1.0, beta: float = 0.0,
-                msg_dtype=jnp.float32) -> ChunkStats:
+                msg_dtype=jnp.float32, enc_planes=None) -> ChunkStats:
     """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP
-    (regular LDPCCode or IrregularLDPCCode)."""
+    (regular LDPCCode or IrregularLDPCCode).  ``enc_planes`` switches to
+    random-codeword transmit (errors counted against the true codeword --
+    the measured channel-symmetry check, cf. the reference's always-zero
+    transmit, parallel_simulator.py:222)."""
     from ..ops.channels import AWGN, BSC
     from ..ops.soft_bp import soft_bp_decode, soft_bp_decode_irregular
 
-    zeros = jnp.zeros((n, batch), jnp.int32)
+    tx_bits = None
+    if enc_planes is None:
+        tx = jnp.zeros((n, batch), jnp.int32)
+        k_noise = key
+    else:
+        from ..models.encode import encode_packed
+        from ..ops.bitops import unpack_bits
+
+        k_noise, k_info = jax.random.split(key)
+        k_eff = enc_planes[0].shape[1]
+        info = bernoulli_packed(k_info, 0.5, (k_eff, batch // 32))
+        tx_bits = unpack_bits(encode_packed(enc_planes, info))  # bool[n, B]
+        tx = tx_bits.astype(jnp.int32)
     if channel == "AWGN":
         ch = AWGN(channel_param)
-        llr = ch.llr(ch.transmit(key, zeros))
+        llr = ch.llr(ch.transmit(k_noise, tx))
     else:
         ch = BSC(channel_param)
-        llr = ch.llr(ch.transmit(key, zeros))
+        llr = ch.llr(ch.transmit(k_noise, tx))
     decode = (soft_bp_decode_irregular
               if isinstance(code, IrregularLDPCCode) else soft_bp_decode)
     res = decode(code, llr, iterations, method=method,
-                 alpha=alpha, beta=beta, msg_dtype=msg_dtype)
+                 alpha=alpha, beta=beta, msg_dtype=msg_dtype,
+                 tx_bits=tx_bits)
     return ChunkStats(
         error_totals=res.error_totals,
         block_errors=jnp.sum(res.failed).astype(jnp.int32),
@@ -235,13 +280,30 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         raise ValueError("batch must divide by 32 * n_devices")
     words = cfg.batch // 32 // n_dev  # per-device words (packed decoders)
 
+    enc_planes = None
+    if getattr(cfg, "transmit", "zero") == "random":
+        # __post_init__ guarantees fixed-code mode; derive the systematic
+        # encoder once on the host, ship the GF(2) map as device constants
+        from ..models.encode import encoder_planes, make_encoder
+
+        if code is None:
+            raise ValueError("transmit='random' requires a fixed code")
+        if isinstance(code, IrregularLDPCCode):
+            from ..models.irregular import dense_parity_check_irregular
+
+            enc = make_encoder(h=dense_parity_check_irregular(code))
+        else:
+            enc = make_encoder(code)
+        enc_planes = encoder_planes(enc)
+
     def make_decode_one(sub_words: int):
         def decode_one(c: LDPCCode, key: jax.Array) -> ChunkStats:
             if pair == ("BEC", "bp"):
                 return _bp_chunk(c, key, n=cfg.n, words=sub_words,
                                  iterations=cfg.iterations,
                                  erasure_prob=cfg.channel_param,
-                                 expurgation=cfg.expurgation)
+                                 expurgation=cfg.expurgation,
+                                 enc_planes=enc_planes)
             if pair == ("BSC", "gallager"):
                 return _gallager_chunk(c, key, n=cfg.n, words=sub_words,
                                        iterations=cfg.iterations,
@@ -252,7 +314,8 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
                                channel_param=cfg.channel_param,
                                method=cfg.decoder, alpha=cfg.minsum_alpha,
                                beta=cfg.minsum_beta,
-                               msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
+                               msg_dtype=jnp.dtype(cfg.soft_msg_dtype),
+                               enc_planes=enc_planes)
 
         return decode_one
 

@@ -53,6 +53,17 @@ class SimulationConfig:
                                      # message planes (int8: quantised
                                      # min-sum, see ops/soft_bp.py)
 
+    # Transmit convention.  "zero": every trial sends the all-zero
+    # codeword (the reference's only workload, simulator.py:253).
+    # "random": encode fresh random information bits per trial through
+    # the systematic encoder (models/encode.py -- the reference's
+    # vestigial encode, simulator.py:61-64, made load-bearing), transmit
+    # them, and count errors against the true codeword.  Measures the
+    # all-zero/channel-symmetry equivalence instead of assuming it.
+    # Fixed-code mode only (one host-side encoder derivation per run);
+    # supported for BEC+bp and the soft decoders.
+    transmit: str = "zero"
+
     # Stopping rules (parallel_simulator.py:198)
     num_tests: int = 100_000
     max_block_errors: int = 200
@@ -128,6 +139,24 @@ class SimulationConfig:
                              "corrections")
         if self.code_mode not in ("ensemble", "fixed"):
             raise ValueError(f"unknown code_mode {self.code_mode!r}")
+        if self.transmit not in ("zero", "random"):
+            raise ValueError(f"unknown transmit {self.transmit!r}")
+        if self.transmit == "random":
+            ok = {("BEC", "bp"), ("BSC", "sumproduct"), ("BSC", "minsum"),
+                  ("AWGN", "sumproduct"), ("AWGN", "minsum")}
+            if (self.channel, self.decoder) not in ok:
+                raise ValueError(
+                    "transmit='random' supports BEC+bp and the soft "
+                    f"decoders; got {(self.channel, self.decoder)}")
+            if self.code_mode != "fixed":
+                raise ValueError("transmit='random' requires a fixed code "
+                                 "(one encoder derivation per run)")
+            if self.edge_sharded:
+                raise ValueError("transmit='random' not supported with "
+                                 "edge_sharded")
+            if self.expurgation is not None:
+                raise ValueError("transmit='random' not supported with "
+                                 "expurgation")
         if self.edge_sharded:
             if (self.channel, self.decoder) != ("BEC", "bp"):
                 raise ValueError("edge_sharded requires BEC + bp")

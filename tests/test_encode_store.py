@@ -67,3 +67,92 @@ def test_reference_format_roundtrip(tmp_path):
     # lookups are flattened int32 like random_code_generator.c outputs
     cl = np.load(tmp_path / names[1])
     assert cl.dtype == np.int32 and cl.shape == (180,)
+
+
+def test_encode_packed_matches_host_encoder():
+    """Device-side packed encoding (models.encode.encode_packed) must be
+    bit-for-bit the host encoder on the same information words, and every
+    output must satisfy H."""
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.models.encode import (encode_packed,
+                                                          encoder_planes)
+    from iib_project_ldpc_codes_tpu.ops.bitops import pack_bits, unpack_bits
+
+    code = sample_code(jax.random.key(5), 96, 3, 6)
+    enc = make_encoder(code)
+    planes = encoder_planes(enc)
+    rng = np.random.default_rng(0)
+    info = rng.integers(0, 2, size=(64, enc.k_eff)).astype(np.uint8)
+    host_cw = enc.encode(info)                       # [64, n]
+    info_planes = pack_bits(jnp.asarray(info.T, bool))   # [k_eff, 2]
+    dev_cw = unpack_bits(encode_packed(planes, info_planes))  # [n, 64]
+    assert np.array_equal(np.asarray(dev_cw).T.astype(np.uint8), host_cw)
+    h = dense_parity_check(code)
+    assert not (h.astype(int) @ host_cw.T % 2).any()
+
+
+def test_random_codeword_mc_matches_all_zero_bec():
+    """transmit='random' (encoder load-bearing end to end) must give the
+    same BEC BP statistics as the all-zero convention -- the
+    channel-symmetry equivalence the pipeline rests on, measured (and the
+    random path additionally verifies every resolved bit against the true
+    codeword: a miscopy would inflate its error counters)."""
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    kw = dict(channel="BEC", channel_param=0.42, n=256, dv=3, dc=6,
+              decoder="bp", iterations=50, num_tests=2048, batch=1024,
+              max_block_errors=10 ** 9, seed=33, code_mode="fixed",
+              code_number=2)
+    cfg0 = SimulationConfig(transmit="zero", **kw)
+    cfg1 = SimulationConfig(transmit="random", **kw)
+    code = code_for_config(cfg0)
+    r0 = run_simulation(cfg0, code=code)
+    r1 = run_simulation(cfg1, code=code)
+    # NOTE the keys diverge (random mode splits off an info key), so the
+    # erasure patterns differ; equality is statistical, not bitwise.
+    assert r0.num_trials == r1.num_trials
+    z = abs(r0.bit_error_rate - r1.bit_error_rate)
+    # generous 5-sigma-ish bound via the larger of the two CI widths
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+    w0 = ber_ci(r0)[1] - ber_ci(r0)[0]
+    w1 = ber_ci(r1)[1] - ber_ci(r1)[0]
+    assert z < 2.0 * max(w0, w1), (r0.bit_error_rate, r1.bit_error_rate)
+    assert r1.bit_errors > 0   # the regime genuinely exercises decoding
+
+
+def test_random_codeword_mc_matches_all_zero_awgn_minsum():
+    """Soft-decision channel symmetry, measured: random-codeword AWGN
+    min-sum statistics equal the all-zero run's within CI."""
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
+
+    kw = dict(channel="AWGN", channel_param=0.85, n=128, dv=3, dc=6,
+              decoder="minsum", iterations=40, num_tests=2048, batch=1024,
+              max_block_errors=10 ** 9, seed=44, code_mode="fixed",
+              code_number=4)
+    cfg0 = SimulationConfig(transmit="zero", **kw)
+    cfg1 = SimulationConfig(transmit="random", **kw)
+    code = code_for_config(cfg0)
+    r0 = run_simulation(cfg0, code=code)
+    r1 = run_simulation(cfg1, code=code)
+    w0 = ber_ci(r0)[1] - ber_ci(r0)[0]
+    w1 = ber_ci(r1)[1] - ber_ci(r1)[0]
+    assert r0.bit_errors > 0 and r1.bit_errors > 0
+    assert abs(r0.bit_error_rate - r1.bit_error_rate) \
+        < 2.0 * max(w0, w1), (r0.bit_error_rate, r1.bit_error_rate)
+
+
+def test_transmit_random_config_validation():
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    with pytest.raises(ValueError, match="fixed"):
+        SimulationConfig(transmit="random", code_mode="ensemble")
+    with pytest.raises(ValueError, match="transmit"):
+        SimulationConfig(transmit="banana")
+    with pytest.raises(ValueError, match="random"):
+        SimulationConfig(transmit="random", channel="BEC",
+                         decoder="peeling", code_mode="fixed")
