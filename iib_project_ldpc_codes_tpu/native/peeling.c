@@ -52,7 +52,15 @@ typedef struct {
  * check-degree histogram [0..dc] whenever the unresolved-variable count
  * first equals sample_u[j] (sample_u strictly descending; entries never
  * reached are filled with -1; NULL to skip).  Returns peel steps done
- * (before the reference's final 0-append). */
+ * (before the reference's final 0-append).
+ *
+ * Irregular codes (per-node degrees) use the phantom-padding convention
+ * of models/irregular.py: dv/dc are dv_max/dc_max, chk_to_var rows are
+ * padded with the phantom variable index n (never erased, contributes no
+ * degree) and var_to_chk rows with the phantom check index m (skipped in
+ * the decrement loop).  The guards never fire on unpadded regular
+ * tables, so the regular path -- including its RNG stream -- is
+ * bit-identical to before. */
 static int32_t peel_one(const int32_t *chk_to_var, const int32_t *var_to_chk,
                         int32_t n, int32_t m, int32_t dv, int32_t dc,
                         const uint8_t *er, uint64_t rng, peel_ws *ws,
@@ -73,7 +81,8 @@ static int32_t peel_one(const int32_t *chk_to_var, const int32_t *var_to_chk,
     for (int32_t c = 0; c < m; ++c) {
         int32_t d = 0;
         const int32_t *row = chk_to_var + (size_t)c * dc;
-        for (int32_t j = 0; j < dc; ++j) d += un[row[j]];
+        for (int32_t j = 0; j < dc; ++j)
+            if (row[j] < n) d += un[row[j]];
         deg[c] = d;
         ++hist[d];
         pos[c] = -1;
@@ -106,12 +115,13 @@ static int32_t peel_one(const int32_t *chk_to_var, const int32_t *var_to_chk,
         const int32_t *row = chk_to_var + (size_t)c * dc;
         int32_t v = -1;
         for (int32_t j = 0; j < dc; ++j)
-            if (un[row[j]]) { v = row[j]; break; }
+            if (row[j] < n && un[row[j]]) { v = row[j]; break; }
         un[v] = 0;
         /* update degrees of v's checks; maintain set + histogram */
         const int32_t *vcs = var_to_chk + (size_t)v * dv;
         for (int32_t p = 0; p < dv; ++p) {
             int32_t c2 = vcs[p];
+            if (c2 >= m) continue;     /* phantom-check padding */
             int32_t old = deg[c2]--;
             --hist[old];
             ++hist[old - 1];

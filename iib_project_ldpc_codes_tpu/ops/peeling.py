@@ -112,6 +112,54 @@ def peel_decode(code: LDPCCode, channel_output: jax.Array, key: jax.Array,
                       steps=steps, num_erasures=num_erasures)
 
 
+@partial(jax.jit, static_argnames=("max_steps",))
+def peel_decode_irregular(code, channel_output: jax.Array, key: jax.Array,
+                          max_steps: int | None = None) -> PeelResult:
+    """:func:`peel_decode` for an :class:`..models.irregular
+    .IrregularLDPCCode` -- identical R-process semantics.
+
+    Phantom padding does the masking: the state vector gains a phantom
+    row (index n, never erased), so padded check sockets contribute no
+    degree and are never 'the unique unresolved participant'; the
+    phantom check row has degree 0 and is never selected.
+    """
+    channel_output = jnp.asarray(channel_output, jnp.int32)
+    un_ext0 = jnp.concatenate([channel_output == ERASURE,
+                               jnp.zeros((1,), bool)])   # [n+1]
+    num_erasures = jnp.sum(un_ext0).astype(jnp.int32)
+    if max_steps is None:
+        max_steps = code.n
+    chk = code.chk_to_var                                 # [m+1, dc_max]
+
+    def step(carry, step_key):
+        un_ext, done = carry
+        deg = jnp.sum(un_ext[chk], axis=1).astype(jnp.int32)  # [m+1]
+        ones = deg == 1
+        count = jnp.sum(ones).astype(jnp.int32)
+        active = (count > 0) & ~done
+        g = jax.random.gumbel(step_key, deg.shape)
+        chosen = jnp.argmax(jnp.where(ones, g, -jnp.inf))
+        row = chk[chosen]                                 # [dc_max]
+        var = row[jnp.argmax(un_ext[row])]
+        un_ext = un_ext.at[var].set(
+            jnp.where(active, False, un_ext[var]))
+        return (un_ext, done | ~active), jnp.where(active, count, -1)
+
+    keys = jax.random.split(key, max_steps)
+    (un_ext, _), counts = jax.lax.scan(
+        step, (un_ext0, num_erasures == 0), keys)
+
+    steps = jnp.sum(counts >= 0).astype(jnp.int32)
+    unresolved = un_ext[:-1]
+    success = ~jnp.any(unresolved)
+    evolution = jnp.concatenate([counts, jnp.full((1,), -1, jnp.int32)])
+    evolution = jnp.where(
+        (jnp.arange(max_steps + 1) == steps) & success, 0, evolution)
+    steps = steps + success.astype(jnp.int32)
+    return PeelResult(unresolved=unresolved, one_degree_evolution=evolution,
+                      steps=steps, num_erasures=num_erasures)
+
+
 def peel_decode_batch(code: LDPCCode, channel_outputs: jax.Array,
                       key: jax.Array, max_steps: int | None = None
                       ) -> PeelResult:

@@ -51,8 +51,8 @@ class PeelingScalingResult:
 def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
                                repeats: int = 100, seed: int = 0,
                                code: Optional[LDPCCode] = None,
-                               backend: str = "native"
-                               ) -> PeelingScalingResult:
+                               backend: str = "native",
+                               lam=None, rho=None) -> PeelingScalingResult:
     """Monte Carlo R-process trajectories vs the analytic drift.
 
     Mirrors peeling_decoder.py:136-168: fresh (or fixed) code per repeat,
@@ -66,21 +66,54 @@ def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
     unavailable.  Both are seeded and reproducible; they use different
     PRNG streams for the uniform degree-1 choice, so individual
     trajectories differ while all distributional statistics agree.
+
+    ``lam``/``rho`` switch to the irregular (lambda, rho) ensemble
+    (``dv``/``dc`` ignored): fresh codes from IrregularEnsembleSpec, the
+    drift from :func:`..utils.theory.irregular_peeling_drift`, and the
+    critical point from the interior minimum of the irregular drift.
+    ``expected_at_critical`` is then the drift value there (the exact
+    quantity the reference's regular branch first-order-expands,
+    peeling_decoder.py:117-118) and ``variance_at_critical`` is NaN (the
+    regular covariance-evolution formula does not generalise; use the
+    empirical spread).
     """
-    thr = theory.calc_threshold(dv, dc)
-    y_crit = theory.threshold_y(thr, dv, dc)
-    # critical step index (peeling_decoder.py:111: int(n eps* y*^dv))
-    critical_point = int(n * thr * y_crit ** dv)
+    irregular = lam is not None
+    if irregular:
+        from ..models.irregular import IrregularEnsembleSpec
 
-    # analytic drift on the steps-remaining axis (peeling_decoder.py:106-107)
-    steps = np.arange(int(n * erasure_prob))
-    drift = theory.peeling_drift(erasure_prob, dv, dc, n, steps)[::-1]
+        spec = IrregularEnsembleSpec.from_lam_rho(n, lam, rho)
+        thr = theory.irregular_threshold(lam, rho, 1e-7)
+        x_crit = theory.irregular_critical_x(lam, rho)
+        # unresolved count at the critical time = n eps* L(x*) -- the
+        # irregular generalisation of peeling_decoder.py:111's
+        # int(n eps* y*^dv)
+        critical_point = int(n * thr * theory._node_poly_val(lam, x_crit))
+        steps = np.arange(int(n * erasure_prob))
+        drift = theory.irregular_peeling_drift(
+            erasure_prob, lam, rho, n, steps)[::-1]
+        expected_at_critical = (float(drift[critical_point])
+                                if critical_point < len(drift)
+                                else float("nan"))
+        variance = float("nan")
+        dv, dc = spec.dv_max, spec.dc_max
+    else:
+        thr = theory.calc_threshold(dv, dc)
+        y_crit = theory.threshold_y(thr, dv, dc)
+        # critical step index (peeling_decoder.py:111: int(n eps* y*^dv))
+        critical_point = int(n * thr * y_crit ** dv)
 
-    # first-order expected R at the critical point (peeling_decoder.py:117-118)
-    first_derivative = (-n * dv * (dc - 1) * thr * y_crit ** (2 * dv - 2)
-                        * (1 - erasure_prob * y_crit ** (dv - 1)) ** (dc - 2))
-    expected_at_critical = first_derivative * (erasure_prob - thr)
-    variance = theory.critical_point_variance(n, erasure_prob, dv, dc)
+        # analytic drift on the steps-remaining axis
+        # (peeling_decoder.py:106-107)
+        steps = np.arange(int(n * erasure_prob))
+        drift = theory.peeling_drift(erasure_prob, dv, dc, n, steps)[::-1]
+
+        # first-order expected R at the critical point
+        # (peeling_decoder.py:117-118)
+        first_derivative = (
+            -n * dv * (dc - 1) * thr * y_crit ** (2 * dv - 2)
+            * (1 - erasure_prob * y_crit ** (dv - 1)) ** (dc - 2))
+        expected_at_critical = first_derivative * (erasure_prob - thr)
+        variance = theory.critical_point_variance(n, erasure_prob, dv, dc)
 
     key = jax.random.key(seed)
     ch = BEC(erasure_prob)
@@ -97,21 +130,34 @@ def peeling_scaling_experiment(n: int, dv: int, dc: int, erasure_prob: float,
     for i in range(repeats):
         k_code, k_noise, k_peel = jax.random.split(
             jax.random.fold_in(key, i), 3)
-        c = code if code is not None else sample_code(k_code, n, dv, dc)
+        if code is not None:
+            c = code
+        elif irregular:
+            c = spec.sample(k_code)
+        else:
+            c = sample_code(k_code, n, dv, dc)
         rx = ch.transmit(k_noise, jnp.zeros(n, jnp.int32))
         if use_native:
             from ..native import peel_decode_trials_native
             from ..ops.channels import ERASURE
             erased = (np.asarray(rx) == ERASURE)[None, :]
+            # irregular: strip the phantom rows; the C kernel understands
+            # the padding sentinels (entries n / m)
+            chk = np.asarray(c.chk_to_var)
+            var = np.asarray(c.var_to_chk)
+            if irregular:
+                chk, var = chk[:-1], var[:-1]
             out = peel_decode_trials_native(
-                np.asarray(c.chk_to_var), np.asarray(c.var_to_chk),
-                erased, seed=seed * 1_000_003 + i)
+                chk, var, erased, seed=seed * 1_000_003 + i)
             _, evolution, _, erasure_counts = out
             evo = evolution[0]
             evo = evo[evo >= 0].astype(float)
             num_erasures = int(erasure_counts[0])
         else:
-            res = peel_decode(c, rx, k_peel)
+            from ..ops.peeling import peel_decode_irregular
+
+            peel = peel_decode_irregular if irregular else peel_decode
+            res = peel(c, rx, k_peel)
             evo = np.asarray(res.one_degree_evolution)
             evo = evo[evo >= 0].astype(float)
             num_erasures = int(res.num_erasures)

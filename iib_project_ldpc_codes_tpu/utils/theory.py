@@ -209,6 +209,98 @@ def peeling_drift(erasure_prob: float, dv: int, dc: int, n: int, steps
     return dv * n * peeling_drift_normalized(erasure_prob, dv, dc, y)
 
 
+def irregular_peeling_drift_normalized(erasure_prob: float, lam, rho, x
+                                       ) -> np.ndarray:
+    """Expected degree-1 fraction-of-edges drift for a (lambda, rho)
+    ensemble: r1(x) = eps lambda(x) (x - 1 + rho(1 - eps lambda(x))).
+
+    The irregular generalisation of :func:`peeling_drift_normalized`
+    (LMSS "Efficient Erasure Correcting Codes" differential-equation
+    analysis); with the degenerate distributions of
+    :func:`regular_lam_rho` it reduces to the regular formula exactly
+    (lambda(x) = x^(dv-1), rho(z) = z^(dc-1)).  ``x`` runs 1 -> 0 over
+    the peel; the unresolved-erased-variable fraction at time x is
+    eps * L(x) with L the node-perspective variable polynomial
+    (:func:`node_perspective`), generalising the regular y^dv mapping.
+
+    Sanity anchor at x=1 (before any peel): r1(1) = eps rho(1-eps), the
+    direct expected fraction of edges in degree-1 checks after stripping
+    the received bits.
+    """
+    lam = _poly_check(lam, "lam")
+    rho = _poly_check(rho, "rho")
+    x = np.asarray(x, float)
+    lx = np.polyval(lam[::-1], x)
+    return erasure_prob * lx * (
+        x - 1.0 + np.polyval(rho[::-1], 1.0 - erasure_prob * lx))
+
+
+def _node_poly_val(lam, x):
+    """L(x) = sum_d L_d x^d with L the node-perspective distribution."""
+    node = node_perspective(lam)
+    x = np.asarray(x, float)
+    return sum(nd * x ** (i + 1) for i, nd in enumerate(node))
+
+
+def _invert_node_poly(lam, target) -> np.ndarray:
+    """x with L(x) = target (L monotone increasing on [0,1]); vectorised
+    bisection."""
+    target = np.asarray(target, float)
+    lo = np.zeros_like(target)
+    hi = np.ones_like(target)
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        below = _node_poly_val(lam, mid) < target
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    return 0.5 * (lo + hi)
+
+
+def irregular_peeling_drift(erasure_prob: float, lam, rho, n: int, steps,
+                            avg_dv: float | None = None) -> np.ndarray:
+    """Expected degree-1 check COUNT after ``steps`` peels of a length-n
+    (lambda, rho) code -- the irregular analogue of :func:`peeling_drift`.
+
+    Each peel resolves one variable, so the unresolved fraction after s
+    peels is eps - s/n = eps L(x); inverting L gives the x to evaluate
+    :func:`irregular_peeling_drift_normalized` at, scaled by the edge
+    count E = n / int(lambda).
+    """
+    lam_c = _poly_check(lam, "lam")
+    if avg_dv is None:
+        avg_dv = 1.0 / float(sum(c / (i + 1)
+                                 for i, c in enumerate(lam_c)))
+    steps = np.asarray(steps, float)
+    frac_left = np.clip(1.0 - steps / (erasure_prob * n), 0.0, 1.0)
+    x = _invert_node_poly(lam, frac_left)
+    return n * avg_dv * irregular_peeling_drift_normalized(
+        erasure_prob, lam, rho, x)
+
+
+def irregular_critical_x(lam, rho, erasure_prob: float | None = None
+                         ) -> float:
+    """The peeling-time x where the drift is at its interior minimum
+    (at eps = eps* the minimum touches zero -- the critical point of the
+    irregular R-process; regular inputs reproduce the tangency point of
+    :func:`calculate_crit_point` in the x-coordinate y*).
+
+    ``erasure_prob`` defaults to the ensemble's BP threshold.
+    """
+    if erasure_prob is None:
+        erasure_prob = irregular_threshold(lam, rho, 1e-7)
+    xs = np.linspace(1e-6, 1.0 - 1e-6, 200_001)
+    r = irregular_peeling_drift_normalized(erasure_prob, lam, rho, xs)
+    # r1 -> 0 at x=0 (completion) too, so look for the INTERIOR local
+    # minimum -- the near-threshold dip where trajectories die; at
+    # eps = eps* it touches zero (tangency).  Largest-x local minimum
+    # wins (the first bottleneck the decoder must survive).
+    interior = (r[1:-1] <= r[:-2]) & (r[1:-1] <= r[2:])
+    idx = np.nonzero(interior)[0]
+    if idx.size == 0:
+        return float(xs[int(np.argmin(r))])
+    return float(xs[idx[-1] + 1])
+
+
 def gallager_a_density_evolution(crossover_prob: float, iterations: int,
                                  dv: int, dc: int) -> List[float]:
     """Message-error-probability recursion for Gallager-A on the BSC.

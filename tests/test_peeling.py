@@ -202,3 +202,121 @@ def test_native_experiment_backend():
     for a, b in zip(nat.trajectories, jx.trajectories):
         assert len(a) == len(b)       # num_erasures identical
         assert a[-1] == b[-1] or (np.isnan(a[-1]) and np.isnan(b[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Irregular (lambda, rho) sequential peeling (round-4 extension)
+# ---------------------------------------------------------------------------
+
+IRR_LAM = [0, 1 / 3, 0, 2 / 3]
+IRR_RHO = [0, 0, 0, 0, 0, 1.0]
+
+
+def _irregular_code(key, n=96):
+    from iib_project_ldpc_codes_tpu.models.irregular import (
+        IrregularEnsembleSpec)
+
+    return IrregularEnsembleSpec.from_lam_rho(n, IRR_LAM, IRR_RHO) \
+        .sample(key)
+
+
+@pytest.mark.parametrize("eps", [0.3, 0.42])
+def test_irregular_peel_matches_bp_fixed_point(eps):
+    """On the BEC, sequential peeling and BP stop at the identical maximal
+    stopping set -- for irregular codes too (the phantom-padded peeler
+    must not invent or miss degree-1 opportunities)."""
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import bp_decode_irregular
+    from iib_project_ldpc_codes_tpu.ops.peeling import peel_decode_irregular
+
+    code = _irregular_code(jax.random.key(5))
+    for s in range(4):
+        rx = np.asarray(BEC(eps).transmit(
+            jax.random.fold_in(jax.random.key(6), s),
+            jnp.zeros(code.n, jnp.int32)))
+        res = peel_decode_irregular(code, jnp.asarray(rx),
+                                    jax.random.key(7 + s))
+        decoded, _, _ = bp_decode_irregular(code, jnp.asarray(rx),
+                                            code.n)
+        bp_unresolved = np.asarray(decoded) == ERASURE
+        assert (np.asarray(res.unresolved) == bp_unresolved).all()
+        # trajectory bookkeeping: one peel per resolved erasure (+1 final
+        # zero on success)
+        evo = np.asarray(res.one_degree_evolution)
+        evo = evo[evo >= 0]
+        resolved = int(res.num_erasures) - bp_unresolved.sum()
+        assert int(res.steps) == len(evo)
+        assert len(evo) == resolved + (1 if not bp_unresolved.any()
+                                       else 0)
+
+
+def _native_available():
+    from iib_project_ldpc_codes_tpu.native import load
+
+    return load() is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
+def test_irregular_native_peel_matches_jax_final_set():
+    """The padded-table native peeler reaches the same maximal stopping
+    set as the jax irregular peeler (choice-independent), with matching
+    trajectory lengths."""
+    from iib_project_ldpc_codes_tpu.native import peel_decode_trials_native
+    from iib_project_ldpc_codes_tpu.ops.peeling import peel_decode_irregular
+
+    code = _irregular_code(jax.random.key(8), n=120)
+    rxs = np.asarray(BEC(0.42).transmit(
+        jax.random.key(9), jnp.zeros((8, code.n), jnp.int32)))
+    chk = np.asarray(code.chk_to_var)[:-1]
+    var = np.asarray(code.var_to_chk)[:-1]
+    erased = rxs == ERASURE
+    un, evo, steps, erasures = peel_decode_trials_native(
+        chk, var, erased, seed=77)
+    for t in range(8):
+        res = peel_decode_irregular(code, jnp.asarray(rxs[t]),
+                                    jax.random.key(100 + t))
+        assert (np.asarray(res.unresolved) == un[t]).all()
+        jx_evo = np.asarray(res.one_degree_evolution)
+        jx_evo = jx_evo[jx_evo >= 0]
+        nat_evo = evo[t][evo[t] >= 0]
+        assert len(nat_evo) == len(jx_evo)
+        # pre-peel degree-1 count is choice-independent
+        if len(nat_evo):
+            assert nat_evo[0] == jx_evo[0]
+
+
+def test_irregular_drift_tracks_trajectories():
+    """The measured mean R-process tracks the irregular analytic drift at
+    an early checkpoint (before survivor bias matters)."""
+    from iib_project_ldpc_codes_tpu.utils.experiments import (
+        peeling_scaling_experiment)
+
+    n, eps = 2048, 0.40
+    res = peeling_scaling_experiment(n, 0, 0, eps, repeats=32, seed=11,
+                                     lam=IRR_LAM, rho=IRR_RHO)
+    # checkpoint at 90% of erasures still unresolved (early in the peel)
+    u0 = int(0.9 * n * eps)
+    vals = [t[u0] for t in res.trajectories
+            if len(t) > u0 and not np.isnan(t[u0])]
+    assert len(vals) >= 24
+    mean, se = np.mean(vals), np.std(vals, ddof=1) / np.sqrt(len(vals))
+    want = res.drift[u0]
+    assert abs(mean - want) < 4 * se + 0.02 * want, (mean, want, se)
+
+
+def test_irregular_drift_reduces_to_regular():
+    from iib_project_ldpc_codes_tpu.utils import theory
+
+    lam, rho = theory.regular_lam_rho(3, 6)
+    steps = np.arange(0, 400)
+    a = theory.peeling_drift(0.42, 3, 6, 1000, steps)
+    b = theory.irregular_peeling_drift(0.42, lam, rho, 1000, steps)
+    assert np.allclose(a, b, atol=1e-9)
+    # x=1 anchor: r1(1) = eps * rho(1 - eps)
+    r1 = theory.irregular_peeling_drift_normalized(0.42, IRR_LAM, IRR_RHO,
+                                                   1.0)
+    import math
+    assert r1 == pytest.approx(0.42 * (1 - 0.42) ** 5, rel=1e-12)
+    # critical point: regular inputs land on y* (the DE tangency)
+    xc = theory.irregular_critical_x(lam, rho)
+    ystar = theory.threshold_y(theory.calc_threshold(3, 6), 3, 6)
+    assert abs(xc - ystar) < 2e-3
