@@ -42,8 +42,10 @@ POINTS = {
 
 def exact_values():
     path = os.path.join(ROOT, "docs", "data", "exact_stopping_set_ber.json")
-    with open(path) as f:
-        raw = json.load(f)
+    raw = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
     out = {}
     for k, v in raw.items():
         n_s, eps_s = k.split("_")
@@ -112,10 +114,24 @@ def main():
               f"vs exact={r['exact']:.4g} rel={r['rel_dev']:+.1%}", flush=True)
 
     os.makedirs(os.path.join(ROOT, "docs", "data"), exist_ok=True)
-    with open(os.path.join(ROOT, "docs", "data",
-                           "stopping_set_closure.json"), "w") as f:
-        json.dump(dict(raw_ensemble=rows, simple_conditioned=bias), f,
-                  indent=1)
+    out_path = os.path.join(ROOT, "docs", "data",
+                            "stopping_set_closure.json")
+    # merge with any previous pass (the exact n=1024 values land later
+    # than the n=512 ones; each pass only reruns what it computed)
+    doc = dict(raw_ensemble=[], simple_conditioned=[])
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+
+    def merge(old, new):
+        keyed = {(r["n"], r["eps"], r["sampler"]): r for r in old}
+        keyed.update({(r["n"], r["eps"], r["sampler"]): r for r in new})
+        return sorted(keyed.values(), key=lambda r: (r["n"], r["eps"]))
+
+    doc["raw_ensemble"] = rows = merge(doc["raw_ensemble"], rows)
+    doc["simple_conditioned"] = merge(doc["simple_conditioned"], bias)
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
 
     # overlay figure: exact stars on the measured BER-vs-eps curves
     import matplotlib

@@ -301,6 +301,60 @@ def irregular_critical_x(lam, rho, erasure_prob: float | None = None
     return float(xs[idx[-1] + 1])
 
 
+def fit_waterfall_alpha(points, threshold: float, fit_shift: bool = True):
+    """Fit the finite-length scaling law to measured waterfall FERs.
+
+    ``points`` is an iterable of (n, eps, fer) with fer in (0, 1); the
+    law P_block = Phi(-sqrt(n)(eps* - eps - beta n^(-2/3)) / alpha) is
+    linear in (alpha, beta) after the probit transform:
+
+        -sqrt(n)(eps* - eps) = alpha * z - beta * n^(-1/6),
+        z = Phi^{-1}(fer)
+
+    so the fit is a plain least-squares solve (residuals in
+    sqrt(n)-erasure units, the axis the law collapses).  Returns
+    ``(alpha, beta)``; ``fit_shift=False`` pins beta = 0.  The regular
+    (3,6) law (alpha ~= 0.5595, beta ~= 0.6166,
+    finite_length_scaling_calculation.py:18-21, :40) is recovered
+    exactly from synthetic data (tests/test_theory.py); for irregular
+    ensembles this is the measurement route to alpha(lambda, rho) --
+    SURVEY's C10 role for (lambda, rho).
+    """
+    pts = [(float(n), float(e), float(f)) for n, e, f in points
+           if 0.0 < f < 1.0]
+    if len(pts) < (2 if fit_shift else 1):
+        raise ValueError("need at least two unsaturated (n, eps, fer) "
+                         "points to fit")
+    z = np.asarray([_norm_ppf_np(f) for _, _, f in pts])
+    rhs = np.asarray([-math.sqrt(n) * (threshold - e) for n, e, _ in pts])
+    cols = [z]
+    if fit_shift:
+        cols.append(np.asarray([-n ** (-1.0 / 6.0) for n, _, _ in pts]))
+    a = np.stack(cols, axis=1)
+    sol, *_ = np.linalg.lstsq(a, rhs, rcond=None)
+    alpha = float(sol[0])
+    beta = float(sol[1]) if fit_shift else 0.0
+    return alpha, beta
+
+
+def _norm_ppf_np(q: float) -> float:
+    from .stats import _norm_ppf
+
+    return _norm_ppf(q)
+
+
+def waterfall_block_error_fitted(n, erasure_probs, threshold: float,
+                                 alpha: float, beta: float = 0.0
+                                 ) -> np.ndarray:
+    """Scaling-law waterfall with explicit (threshold, alpha, beta) --
+    the overlay curve for ensembles whose alpha comes from
+    :func:`fit_waterfall_alpha` rather than the regular closed form."""
+    erasure_probs = np.asarray(erasure_probs, float)
+    z = math.sqrt(n) * (threshold - erasure_probs
+                        - beta * float(n) ** (-2.0 / 3.0))
+    return _norm_cdf(-z / alpha)
+
+
 def gallager_a_density_evolution(crossover_prob: float, iterations: int,
                                  dv: int, dc: int) -> List[float]:
     """Message-error-probability recursion for Gallager-A on the BSC.

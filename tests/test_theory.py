@@ -502,3 +502,42 @@ def test_optimize_lambda_awgn_recovers_known_optima():
     ver = irregular_awgn_threshold_sigma_ga(lam6, rho)
     assert ver == pytest.approx(sig6, abs=3e-3)
     assert ver > sig4 + 0.01
+
+
+def test_fit_waterfall_alpha_recovers_regular_law():
+    """Synthetic FERs generated from the (3,6) scaling law must give back
+    (alpha, beta) exactly (the fit is linear after the probit)."""
+    import numpy as np
+
+    thr = theory.calc_threshold(3, 6)
+    alpha = theory.calculate_alpha(thr, 3, 6)
+    beta = theory.BETA_3_6
+    pts = []
+    for n in (4096, 8192, 16384, 65536):
+        for eps in np.linspace(thr - 0.02, thr - 0.002, 5):
+            fer = float(theory.waterfall_block_error_fitted(
+                n, eps, thr, alpha, beta))
+            pts.append((n, eps, fer))
+    a_hat, b_hat = theory.fit_waterfall_alpha(pts, thr)
+    assert a_hat == pytest.approx(alpha, rel=1e-6)
+    assert b_hat == pytest.approx(beta, rel=1e-5)
+    # beta pinned to zero still recovers the slope on shift-free data
+    pts0 = [(n, e, float(theory.waterfall_block_error_fitted(
+        n, e, thr, alpha, 0.0))) for n, e, _ in pts]
+    a0, b0 = theory.fit_waterfall_alpha(pts0, thr, fit_shift=False)
+    assert a0 == pytest.approx(alpha, rel=1e-6) and b0 == 0.0
+
+
+def test_fit_waterfall_alpha_drops_saturated_points():
+    import numpy as np
+
+    thr = theory.calc_threshold(3, 6)
+    alpha = theory.calculate_alpha(thr, 3, 6)
+    pts = [(n, e, float(theory.waterfall_block_error_fitted(
+        n, e, thr, alpha, 0.0)))
+        for n in (8192, 32768) for e in np.linspace(thr - 0.015, thr, 4)]
+    pts += [(8192, 0.2, 0.0), (8192, 0.6, 1.0)]   # saturated: ignored
+    a_hat, _ = theory.fit_waterfall_alpha(pts, thr)
+    assert a_hat == pytest.approx(alpha, rel=1e-6)
+    with pytest.raises(ValueError):
+        theory.fit_waterfall_alpha([(8192, 0.2, 0.0)], thr)
