@@ -541,3 +541,31 @@ def test_fit_waterfall_alpha_drops_saturated_points():
     assert a_hat == pytest.approx(alpha, rel=1e-6)
     with pytest.raises(ValueError):
         theory.fit_waterfall_alpha([(8192, 0.2, 0.0)], thr)
+
+
+def test_irregular_alpha_fit_is_n_stable_on_hardware_data():
+    """The fitted irregular scaling slope must be n-stable: per-n refits
+    of the measured waterfalls (docs/data/irregular_scaling.json, one
+    v5e chip) stay within 15% of the joint fit.  Skips when the measured
+    data is not present (fresh clone before the hardware run)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "data",
+                        "irregular_scaling.json")
+    if not os.path.exists(path):
+        pytest.skip("hardware scaling data not generated yet")
+    with open(path) as f:
+        doc = json.load(f)
+    alpha = doc["alpha"]
+    assert alpha > 0
+    per_n = doc["alpha_per_n"]
+    assert len(per_n) >= 3
+    for n, a in per_n.items():
+        assert abs(a / alpha - 1.0) < 0.15, (n, a, alpha)
+    # the law must actually describe the measured points: refit from the
+    # raw (n, eps, fer) rows and reproduce the recorded joint alpha
+    pts = [(r["n"], r["eps"], r["fer"]) for r in doc["points"]]
+    a2, b2 = theory.fit_waterfall_alpha(pts, doc["threshold"])
+    assert a2 == pytest.approx(alpha, rel=1e-6)
+    assert b2 == pytest.approx(doc["beta"], rel=1e-6)
