@@ -28,6 +28,8 @@ from fractions import Fraction
 from functools import lru_cache
 from typing import List, Tuple
 
+import numpy as np
+
 
 # ---------------------------------------------------------------------------
 # Integer polynomial helpers (coefficient lists, index = power)
@@ -280,6 +282,132 @@ def _frac_to_float(fr: Fraction) -> float:
     if log2 > 1023:
         return sign * math.inf
     return sign * 2.0 ** log2
+
+
+def _poly_mul_trunc(a, b, deg: int):
+    out = [0] * min(len(a) + len(b) - 1, deg + 1)
+    for i, ai in enumerate(a):
+        if ai and i <= deg:
+            for j, bj in enumerate(b):
+                if bj and i + j <= deg:
+                    out[i + j] += ai * bj
+    return tuple(out)
+
+
+def _poly_pow_trunc(base, e: int, deg: int):
+    result = (1,)
+    b = tuple(base[: deg + 1])
+    while e:
+        if e & 1:
+            result = _poly_mul_trunc(result, b, deg)
+        e >>= 1
+        if e:
+            b = _poly_mul_trunc(b, b, deg)
+    return result
+
+
+def irregular_expected_stopping_sets(var_degrees, chk_degrees, vmax: int
+                                     ) -> List[List[float]]:
+    """E[# stopping sets with v_d variables of each degree d] over the
+    irregular configuration ensemble -- the (lambda, rho) generalisation
+    of :func:`expected_stopping_sets` and the quantitative basis of the
+    lambda2 > 0 error floor (the reference has no irregular analysis at
+    all; SURVEY C15/C20 context).
+
+    For a composition (v_d)_d with e = sum d v_d socket endpoints, the
+    check side admits
+    ``e! [x^e] prod_d ((1+x)^d - d x)^{m_d}`` socket-labelled placements
+    whose touched checks are all covered >= 2 (each check contributes
+    (1+x)^d - d x = untouched + all >=2-subsets), out of E!/(E-e)!
+    ordered placements.  Polynomials are truncated at degree
+    e_max = vmax * dv_max, so the cost is O(log m) truncated multiplies
+    -- n = 10^6 is instant.
+
+    Returns ``totals`` where ``totals[v]`` is a list of
+    (expected count, composition dict) for each composition of total
+    size v (v = 0..vmax); sum the counts for E[N_v].
+    """
+    import collections
+    import itertools
+
+    var_degrees = np.asarray(var_degrees, np.int64)
+    chk_degrees = np.asarray(chk_degrees, np.int64)
+    E = int(var_degrees.sum())
+    var_counts = collections.Counter(var_degrees.tolist())
+    chk_counts = collections.Counter(chk_degrees.tolist())
+    degs = sorted(var_counts)
+    e_max = vmax * max(degs)
+
+    check_poly = (1,)
+    for d, m_d in sorted(chk_counts.items()):
+        base = list(_binomial_poly(d))
+        base[1] -= d                       # (1+x)^d - d x
+        check_poly = _poly_mul_trunc(
+            check_poly, _poly_pow_trunc(tuple(base), m_d, e_max), e_max)
+
+    out: List[List] = [[] for _ in range(vmax + 1)]
+    out[0].append((1.0, {}))
+    for v in range(1, vmax + 1):
+        for combo in itertools.combinations_with_replacement(degs, v):
+            comp = collections.Counter(combo)
+            if any(comp[d] > var_counts[d] for d in comp):
+                continue
+            e = sum(d * c for d, c in comp.items())
+            if e > e_max or e > E:
+                continue
+            coef = check_poly[e] if e < len(check_poly) else 0
+            if coef == 0:
+                out[v].append((0.0, dict(comp)))
+                continue
+            ways = 1
+            for d, c in comp.items():
+                ways *= math.comb(var_counts[d], c)
+            # e! * coef placements / (E falling e) ordered socket choices
+            # (falling factorial, NOT E!/(E-e)! via math.factorial --
+            # factorial(3e6) has ~2e7 digits)
+            falling = 1
+            for i in range(e):
+                falling *= E - i
+            value = Fraction(ways * math.factorial(e) * coef, falling)
+            out[v].append((_frac_to_float(value), dict(comp)))
+    return out
+
+
+def lambda2_cycle_floor(lam, rho, erasure_prob, simple: bool = True
+                        ) -> float:
+    """Asymptotic block-error floor of a lambda2 > 0 ensemble.
+
+    Below threshold the only n->infinity failures are fully-erased
+    cycles of degree-2 variables (every other small stopping structure
+    has E[count] = O(1/n): a composition with a degree-d>=3 variable
+    scales as n^(v - e/2) < 1).  Cycle counts of length k are
+    asymptotically independent Poisson with mean x^k / (2k) where
+    x = eps * lambda'(0) * rho'(1) (the stability-condition parameter --
+    the floor diverges exactly at the stability limit), each fully
+    erased w.p. already folded into x via eps.  Hence
+
+      FER_floor = 1 - exp(-sum_k x^k / 2k) = 1 - sqrt(1 - x)  (raw)
+
+    and the SIMPLE (no multi-edge) ensemble drops the k=1 "cycle" (a
+    double edge):  FER_floor = 1 - sqrt(1-x) * e^(x/2).
+
+    Exact-finite-n counterparts of the Poisson means are available from
+    :func:`irregular_expected_stopping_sets` (its v=1 raw term equals
+    x/2 and its v=2 term equals x^2/4 + (x/2)^2/2! at large n --
+    verified in tests); the asymptotic formula is the one the measured
+    n=10^6 floor validates (docs/VALIDATION.md).
+    """
+    lam = np.asarray(lam, float)
+    rho = np.asarray(rho, float)
+    lam2 = float(lam[1])
+    rho_d1 = float(sum(i * c for i, c in enumerate(rho)))
+    x = float(erasure_prob) * lam2 * rho_d1
+    if x >= 1.0:
+        return 1.0   # beyond the stability limit: floor saturates
+    rate = -0.5 * math.log1p(-x)
+    if simple:
+        rate -= 0.5 * x
+    return 1.0 - math.exp(-rate)
 
 
 def expected_stopping_sets(n: int, dv: int, dc: int, vmax: int

@@ -201,3 +201,118 @@ def test_exact_vs_monte_carlo_raw_ensemble():
     assert lo <= exact <= hi, (res.bit_error_rate, lo, hi, exact)
     # and the interval is tight enough for the test to mean something
     assert (hi - lo) / exact < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Irregular expected stopping sets + the lambda2 cycle floor (round 4)
+# ---------------------------------------------------------------------------
+
+IRR_LAM = [0, 1 / 3, 0, 2 / 3]
+IRR_RHO = [0, 0, 0, 0, 0, 1.0]
+
+
+def test_irregular_expected_sets_degenerate_matches_regular():
+    from iib_project_ldpc_codes_tpu.utils.stopping_sets import (
+        irregular_expected_stopping_sets)
+
+    n, dv, dc = 24, 3, 6
+    reg = expected_stopping_sets(n, dv, dc, 4)
+    irr = irregular_expected_stopping_sets(
+        np.full(n, dv), np.full(n * dv // dc, dc), 4)
+    for v in range(5):
+        assert sum(c for c, _ in irr[v]) == pytest.approx(reg[v],
+                                                          rel=1e-9)
+
+
+def test_irregular_expected_sets_vs_monte_carlo():
+    """E[# size-v stopping sets] of a tiny irregular ensemble, checked by
+    brute-force raw configuration-model sampling."""
+    import itertools
+
+    from iib_project_ldpc_codes_tpu.utils.stopping_sets import (
+        irregular_expected_stopping_sets)
+
+    var_deg = np.array([2, 2, 2, 2, 4, 4])          # lam-ish mix, E=16
+    chk_deg = np.array([4, 4, 4, 4])
+    exact = irregular_expected_stopping_sets(var_deg, chk_deg, 3)
+    totals = [sum(c for c, _ in exact[v]) for v in range(4)]
+
+    rng = np.random.default_rng(1)
+    n, m = len(var_deg), len(chk_deg)
+    socket_var = np.repeat(np.arange(n), var_deg)
+    socket_chk = np.repeat(np.arange(m), chk_deg)
+    reps = 6000
+    counts = np.zeros(4)
+    for _ in range(reps):
+        perm = rng.permutation(len(socket_var))
+        adj = np.zeros((m, n), int)
+        for s, c in zip(perm, socket_chk):
+            adj[c, socket_var[s]] += 1
+        for v_size in (1, 2, 3):
+            for subset in itertools.combinations(range(n), v_size):
+                sub = adj[:, list(subset)].sum(axis=1)
+                touched = sub > 0
+                if touched.any() and (sub[touched] >= 2).all():
+                    counts[v_size] += 1
+    mc = counts / reps
+    for v in (1, 2, 3):
+        se = 4 * np.sqrt(max(mc[v], 1e-3) / reps) + 0.04 * totals[v]
+        assert abs(mc[v] - totals[v]) < se + 0.02, (v, mc[v], totals[v])
+
+
+def test_irregular_raw_terms_match_poisson_cycle_theory():
+    """At large n the raw v=1 term is x/2 (double edges) and the v=2
+    term is x^2/4 + (x/2)^2/2 (2-cycles + pairs of double edges), with
+    x = eps lam'(0) rho'(1) at eps=1 -- the consistency that ties the
+    exact enumeration to the asymptotic cycle floor."""
+    from iib_project_ldpc_codes_tpu.models.irregular import (
+        degree_sequences_from_lam_rho)
+    from iib_project_ldpc_codes_tpu.utils.stopping_sets import (
+        irregular_expected_stopping_sets)
+
+    n = 200_000
+    vd, cd = degree_sequences_from_lam_rho(n, IRR_LAM, IRR_RHO)
+    table = irregular_expected_stopping_sets(vd, cd, 2)
+    x = (1 / 3) * 5.0
+    n1 = sum(c for c, _ in table[1])
+    n2 = sum(c for c, _ in table[2])
+    assert n1 == pytest.approx(x / 2, rel=0.01)
+    assert n2 == pytest.approx(x ** 2 / 4 + (x / 2) ** 2 / 2, rel=0.02)
+
+
+def test_lambda2_cycle_floor_measured_by_monte_carlo():
+    """The asymptotic cycle-floor formula must match measured FER deep
+    below threshold, for BOTH ensembles: the simple-conditioned sampler
+    (no double edges -> k>=2 cycles only) and the raw configuration
+    model (k=1 double edges included).  eps=0.40 is far enough below
+    eps*=0.4526 that the waterfall contribution at n=1024 is ~0.5%."""
+    import jax
+
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.stopping_sets import (
+        lambda2_cycle_floor)
+
+    eps = 0.40
+    want_simple = lambda2_cycle_floor(IRR_LAM, IRR_RHO, eps, simple=True)
+    want_raw = lambda2_cycle_floor(IRR_LAM, IRR_RHO, eps, simple=False)
+    assert want_simple == pytest.approx(
+        1 - math.sqrt(1 - 2 / 3) * math.exp(1 / 3), rel=1e-12)
+    assert want_raw > want_simple
+
+    def fer(sampler, seed):
+        cfg = SimulationConfig(channel="BEC", channel_param=eps, n=1024,
+                               lam=IRR_LAM, rho=IRR_RHO, decoder="bp",
+                               iterations=120, num_tests=4096, batch=2048,
+                               codes_per_chunk=64, sampler=sampler,
+                               max_block_errors=10 ** 9, seed=seed,
+                               code_mode="ensemble")
+        return run_simulation(cfg).block_error_rate
+
+    got_simple = fer("repair", 3)
+    got_raw = fer("raw", 4)
+    # finite-n corrections are O(1/n)-ish with an O(0.01) waterfall tail;
+    # 0.035 absolute tolerance ~= 5 binomial SEs + model slack
+    assert abs(got_simple - want_simple) < 0.035, (got_simple, want_simple)
+    assert abs(got_raw - want_raw) < 0.035, (got_raw, want_raw)
+    assert got_raw > got_simple     # double edges are real failures
