@@ -261,57 +261,53 @@ def _ensemble_layout(cfg: SimulationConfig, n_dev: int):
     return num_codes, words // num_codes
 
 
-def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
-                  mesh: Optional[Mesh] = None):
-    """Build the jitted (and, with a mesh, shard_mapped) chunk kernel.
+#: compiled chunk kernels keyed by their static configuration -- the
+#: channel parameter and the fixed code are TRACED arguments, so an
+#: eps/sigma sweep (or a fixed-code concentration study) reuses one
+#: compiled executable instead of recompiling per point (compile costs
+#: 10-60 s per (n, eps) on the tunnel; a dense sweep was paying it at
+#: every point).  Bounded FIFO (compiled executables hold device
+#: buffers).
+_CHUNK_CACHE: dict = {}
+_CHUNK_CACHE_MAX = 32
 
-    Returns ``fn(key) -> ChunkStats`` decoding ``cfg.batch`` trials.
+
+def _chunk_static_key(cfg: SimulationConfig, mesh, n_dev: int):
+    return (cfg.channel, cfg.decoder, cfg.code_mode, cfg.n, cfg.dv, cfg.dc,
+            tuple(cfg.lam) if cfg.lam is not None else None,
+            tuple(cfg.rho) if cfg.rho is not None else None,
+            cfg.iterations, cfg.batch, cfg.sampler, cfg.expurgation,
+            cfg.gallager_threshold, cfg.minsum_alpha, cfg.minsum_beta,
+            cfg.soft_msg_dtype, cfg.codes_per_chunk,
+            getattr(cfg, "transmit", "zero"), n_dev, mesh)
+
+
+def _build_chunk_jit(cfg: SimulationConfig, mesh, n_dev: int):
+    """Jitted ``fn(key, channel_param, code, enc_planes) -> ChunkStats``.
+
+    Every static the trace reads is part of :func:`_chunk_static_key`;
+    the channel parameter, the fixed code's arrays, and the encoder
+    planes flow in as traced arguments.
     """
     pair = (cfg.channel, cfg.decoder)
-    device_decoders = {("BEC", "bp"), ("BSC", "gallager"),
-                       ("BSC", "sumproduct"), ("BSC", "minsum"),
-                       ("AWGN", "sumproduct"), ("AWGN", "minsum")}
-    if pair not in device_decoders:
-        raise NotImplementedError(
-            f"{pair} runs through its own host driver (ml/both/peeling)")
-
-    n_dev = 1 if mesh is None else mesh.size
-    if cfg.batch % (32 * n_dev):
-        raise ValueError("batch must divide by 32 * n_devices")
     words = cfg.batch // 32 // n_dev  # per-device words (packed decoders)
 
-    enc_planes = None
-    if getattr(cfg, "transmit", "zero") == "random":
-        # __post_init__ guarantees fixed-code mode; derive the systematic
-        # encoder once on the host, ship the GF(2) map as device constants
-        from ..models.encode import encoder_planes, make_encoder
-
-        if code is None:
-            raise ValueError("transmit='random' requires a fixed code")
-        if isinstance(code, IrregularLDPCCode):
-            from ..models.irregular import dense_parity_check_irregular
-
-            enc = make_encoder(h=dense_parity_check_irregular(code))
-        else:
-            enc = make_encoder(code)
-        enc_planes = encoder_planes(enc)
-
-    def make_decode_one(sub_words: int):
+    def make_decode_one(sub_words: int, channel_param, enc_planes):
         def decode_one(c: LDPCCode, key: jax.Array) -> ChunkStats:
             if pair == ("BEC", "bp"):
                 return _bp_chunk(c, key, n=cfg.n, words=sub_words,
                                  iterations=cfg.iterations,
-                                 erasure_prob=cfg.channel_param,
+                                 erasure_prob=channel_param,
                                  expurgation=cfg.expurgation,
                                  enc_planes=enc_planes)
             if pair == ("BSC", "gallager"):
                 return _gallager_chunk(c, key, n=cfg.n, words=sub_words,
                                        iterations=cfg.iterations,
-                                       crossover_prob=cfg.channel_param,
+                                       crossover_prob=channel_param,
                                        threshold=cfg.gallager_threshold)
             return _soft_chunk(c, key, n=cfg.n, batch=sub_words * 32,
                                iterations=cfg.iterations, channel=cfg.channel,
-                               channel_param=cfg.channel_param,
+                               channel_param=channel_param,
                                method=cfg.decoder, alpha=cfg.minsum_alpha,
                                beta=cfg.minsum_beta,
                                msg_dtype=jnp.dtype(cfg.soft_msg_dtype),
@@ -320,11 +316,8 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         return decode_one
 
     if cfg.code_mode == "fixed":
-        if code is None:
-            raise ValueError("fixed code_mode requires a code")
-        decode_one = make_decode_one(words)
-
-        def local_chunk(key):
+        def local_chunk(key, channel_param, code, enc_planes):
+            decode_one = make_decode_one(words, channel_param, enc_planes)
             return decode_one(code, key)
     else:
         num_codes, wpc = _ensemble_layout(cfg, n_dev)
@@ -343,28 +336,82 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
                                          cfg.sampler)
                 return code_from_checks(chk, n=cfg.n, dv=cfg.dv, dc=cfg.dc)
 
-        def local_chunk(key):
+        def local_chunk(key, channel_param, code, enc_planes):
             return _fresh_codes_chunk(
                 key, num_codes=num_codes, sample_fn=sample_fn,
-                decode_one=make_decode_one(wpc))
+                decode_one=make_decode_one(wpc, channel_param, enc_planes))
 
     if mesh is None:
         return jax.jit(local_chunk)
 
-    def sharded_chunk(key):
-        def per_device(key):
+    def sharded_chunk(key, channel_param, code, enc_planes):
+        def per_device(key, channel_param, code, enc_planes):
             idx = jax.lax.axis_index(BATCH_AXIS)
-            stats = local_chunk(jax.random.fold_in(key, idx))
+            stats = local_chunk(jax.random.fold_in(key, idx),
+                                channel_param, code, enc_planes)
             return jax.tree.map(
                 lambda x: jax.lax.psum(x, BATCH_AXIS), stats)
 
         return jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=P(),
+            in_specs=(P(), P(), P(), P()),
             out_specs=P(),
-        )(key)
+        )(key, channel_param, code, enc_planes)
 
     return jax.jit(sharded_chunk)
+
+
+def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
+                  mesh: Optional[Mesh] = None):
+    """Build the jitted (and, with a mesh, shard_mapped) chunk kernel.
+
+    Returns ``fn(key) -> ChunkStats`` decoding ``cfg.batch`` trials.
+    Compiled executables are cached across calls by the static
+    configuration (the channel parameter and fixed-code arrays are
+    traced), so parameter sweeps compile once.
+    """
+    pair = (cfg.channel, cfg.decoder)
+    device_decoders = {("BEC", "bp"), ("BSC", "gallager"),
+                       ("BSC", "sumproduct"), ("BSC", "minsum"),
+                       ("AWGN", "sumproduct"), ("AWGN", "minsum")}
+    if pair not in device_decoders:
+        raise NotImplementedError(
+            f"{pair} runs through its own host driver (ml/both/peeling)")
+
+    n_dev = 1 if mesh is None else mesh.size
+    if cfg.batch % (32 * n_dev):
+        raise ValueError("batch must divide by 32 * n_devices")
+
+    if cfg.code_mode == "fixed" and code is None:
+        raise ValueError("fixed code_mode requires a code")
+
+    enc_planes = None
+    if getattr(cfg, "transmit", "zero") == "random":
+        # __post_init__ guarantees fixed-code mode; derive the systematic
+        # encoder once on the host, ship the GF(2) map as traced arrays
+        from ..models.encode import encoder_planes, make_encoder
+
+        if code is None:
+            raise ValueError("transmit='random' requires a fixed code")
+        if isinstance(code, IrregularLDPCCode):
+            from ..models.irregular import dense_parity_check_irregular
+
+            enc = make_encoder(h=dense_parity_check_irregular(code))
+        else:
+            enc = make_encoder(code)
+        enc_planes = encoder_planes(enc)
+
+    static_key = _chunk_static_key(cfg, mesh, n_dev)
+    jitted = _CHUNK_CACHE.get(static_key)
+    if jitted is None:
+        if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        jitted = _build_chunk_jit(cfg, mesh, n_dev)
+        _CHUNK_CACHE[static_key] = jitted
+
+    channel_param = jnp.float32(cfg.channel_param)
+    fixed_code = code if cfg.code_mode == "fixed" else None
+    return lambda key: jitted(key, channel_param, fixed_code, enc_planes)
 
 
 def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,

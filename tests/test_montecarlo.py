@@ -257,3 +257,42 @@ def test_check_vma_passes():
         fn = make_chunk_fn(cfg, None, mesh)
         stats = fn(jax.random.key(3))
         assert int(stats.block_errors) >= 0
+
+
+def test_chunk_fn_compile_cache_reused_across_sweep_points():
+    """An eps sweep must reuse one compiled chunk executable (the channel
+    parameter is traced, not baked): same static config at two eps ->
+    the same cached jit; changing a static (iterations) -> a different
+    one.  Counters must match a fresh engine run exactly (the cache key
+    covers every static the trace reads)."""
+    from iib_project_ldpc_codes_tpu.parallel import montecarlo as mc
+
+    def cfg(eps, iterations=20):
+        return SimulationConfig(channel="BEC", channel_param=eps, n=128,
+                                dv=3, dc=6, decoder="bp",
+                                iterations=iterations, num_tests=256,
+                                batch=256, max_block_errors=10 ** 9,
+                                seed=5, code_mode="ensemble")
+
+    mc._CHUNK_CACHE.clear()
+    f1 = mc.make_chunk_fn(cfg(0.40), None)
+    assert len(mc._CHUNK_CACHE) == 1
+    f2 = mc.make_chunk_fn(cfg(0.45), None)
+    assert len(mc._CHUNK_CACHE) == 1      # sweep point: cache hit
+    mc.make_chunk_fn(cfg(0.40, iterations=21), None)
+    assert len(mc._CHUNK_CACHE) == 2      # static change: new entry
+
+    # chunk results are pure functions of (key, eps): the two sweep
+    # points share the executable but differ in output
+    import jax
+
+    s1 = jax.device_get(f1(jax.random.key(0)))
+    s2 = jax.device_get(f2(jax.random.key(0)))
+    assert int(s1.bit_errors) != int(s2.bit_errors)
+    # and a run through the engine equals a fresh-cache run bit-for-bit
+    r1 = run_simulation(cfg(0.42))
+    mc._CHUNK_CACHE.clear()
+    r2 = run_simulation(cfg(0.42))
+    assert r1.bit_errors == r2.bit_errors
+    assert r1.block_errors == r2.block_errors
+    assert r1.error_counts_per_iteration == r2.error_counts_per_iteration
