@@ -410,6 +410,29 @@ def lambda2_cycle_floor(lam, rho, erasure_prob, simple: bool = True
     return 1.0 - math.exp(-rate)
 
 
+def lambda2_cycle_floor_ber(lam, rho, erasure_prob, n: int,
+                            simple: bool = True) -> float:
+    """Asymptotic BIT-error floor of a lambda2 > 0 ensemble.
+
+    Each fully-erased degree-2 cycle of length k leaves exactly its k
+    bits unresolved, so E[floor erased bits] = sum_k (x^k/2k) * k =
+    x/(2(1-x)) (minus the k=1 term x/2 for the simple ensemble:
+    x^2/(2(1-x)) total) and BER_floor is that over n.  Companion of
+    :func:`lambda2_cycle_floor`; predicts e.g. the measured raw
+    below-threshold BER of the LP design ladder (docs/VALIDATION.md).
+    """
+    lam = np.asarray(lam, float)
+    rho = np.asarray(rho, float)
+    x = (float(erasure_prob) * float(lam[1])
+         * float(sum(i * c for i, c in enumerate(rho))))
+    if x >= 1.0:
+        return 1.0
+    bits = x / (2.0 * (1.0 - x))
+    if simple:
+        bits -= x / 2.0
+    return bits / n
+
+
 def expected_stopping_sets(n: int, dv: int, dc: int, vmax: int
                            ) -> List[float]:
     """E[# stopping sets of size v] over the configuration ensemble:

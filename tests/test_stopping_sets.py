@@ -316,3 +316,31 @@ def test_lambda2_cycle_floor_measured_by_monte_carlo():
     assert abs(got_simple - want_simple) < 0.035, (got_simple, want_simple)
     assert abs(got_raw - want_raw) < 0.035, (got_raw, want_raw)
     assert got_raw > got_simple     # double edges are real failures
+
+
+def test_lambda2_ber_floor_matches_monte_carlo():
+    """The bit-error floor x^2/(2(1-x))/n (simple ensemble) must match
+    measured BER deep below threshold; it also retrodicts the round-3
+    raw design-ladder numbers (docs/VALIDATION.md)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+    from iib_project_ldpc_codes_tpu.utils.stopping_sets import (
+        lambda2_cycle_floor_ber)
+
+    # deep below threshold: at eps=0.40/n=1024 the ~0.5% waterfall tail
+    # carries Theta(n)-bit failures that dominate the BIT error rate
+    # (the FER floor test above is insensitive to this); eps=0.35 puts
+    # the waterfall at ~2e-7 FER so the cycle floor is all there is
+    eps, n = 0.35, 1024
+    want = lambda2_cycle_floor_ber(IRR_LAM, IRR_RHO, eps, n, simple=True)
+    x = eps * (1 / 3) * 5
+    assert want == pytest.approx(x ** 2 / (2 * (1 - x)) / n, rel=1e-12)
+    cfg = SimulationConfig(channel="BEC", channel_param=eps, n=n,
+                           lam=IRR_LAM, rho=IRR_RHO, decoder="bp",
+                           iterations=120, num_tests=8192, batch=2048,
+                           codes_per_chunk=64, max_block_errors=10 ** 9,
+                           seed=9, code_mode="ensemble")
+    res = run_simulation(cfg)
+    # floor BER ~ 6.5e-4; MC SE at 8192 trials ~ 5%; finite-n slack 20%
+    assert res.bit_error_rate == pytest.approx(want, rel=0.25), \
+        (res.bit_error_rate, want)
