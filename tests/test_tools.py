@@ -151,9 +151,11 @@ def test_plotting_smoke(tmp_path):
     code = sample_code(jax.random.key(1), 96, 3, 6)
     results = [run_simulation(_cfg(channel_param=e), code=code)
                for e in (0.38, 0.42)]
+    exact = {(96, 0.38): 1e-4, (96, 0.42): 1e-3}  # overlay wiring
     figs = [
-        plotting.plot_error_vs_iteration(results),
-        plotting.plot_error_vs_erasure_prob(results),
+        plotting.plot_error_vs_iteration(results, exact_values=exact),
+        plotting.plot_error_vs_erasure_prob(results, metric="bit",
+                                            exact_values=exact),
         plotting.plot_error_vs_n(results),
         plotting.plot_concentration(results),
     ]
