@@ -439,19 +439,33 @@ def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
                              f"check count m={code.m} (pick a device "
                              "count that divides m)")
 
-    def chunk(key):
-        erased = bernoulli_packed(key, cfg.channel_param, (cfg.n, words))
-        res = decode(code, erased, cfg.iterations, mesh)
-        per_trial = res.bit_errors
-        return ChunkStats(
-            error_totals=res.error_totals,
-            block_errors=jnp.sum(res.failed).astype(jnp.int32),
-            bit_errors=jnp.sum(per_trial).astype(jnp.int32),
-            excluded=jnp.int32(0),
-            bit_errors_sq=jnp.sum(jnp.square(per_trial.astype(jnp.float32))),
-        )
+    # the eps sweep at huge n reuses one executable: channel_param and
+    # the code arrays are traced; statics key the cache (same scheme as
+    # make_chunk_fn).  The decode dispatch is by code *type*, which is
+    # part of the key.
+    static_key = ("edge_sharded", type(code).__name__, cfg.n, words,
+                  cfg.iterations, mesh)
+    jitted = _CHUNK_CACHE.get(static_key)
+    if jitted is None:
+        def chunk(key, channel_param, code):
+            erased = bernoulli_packed(key, channel_param, (cfg.n, words))
+            res = decode(code, erased, cfg.iterations, mesh)
+            per_trial = res.bit_errors
+            return ChunkStats(
+                error_totals=res.error_totals,
+                block_errors=jnp.sum(res.failed).astype(jnp.int32),
+                bit_errors=jnp.sum(per_trial).astype(jnp.int32),
+                excluded=jnp.int32(0),
+                bit_errors_sq=jnp.sum(jnp.square(
+                    per_trial.astype(jnp.float32))),
+            )
 
-    return jax.jit(chunk)
+        if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        jitted = _CHUNK_CACHE[static_key] = jax.jit(chunk)
+
+    channel_param = jnp.float32(cfg.channel_param)
+    return lambda key: jitted(key, channel_param, code)
 
 
 def _require_single_process(driver: str) -> None:
