@@ -121,11 +121,25 @@ def main():
     thr = theory.irregular_threshold(LAM, RHO, 1e-7)
     print(f"computed threshold eps* = {thr:.6f}", flush=True)
 
+    # incremental resume: the TPU worker can crash mid-run (known
+    # failure mode); completed points are persisted after each run and
+    # skipped on restart (per-point seeds are fixed, so a skipped point
+    # equals its rerun bit-for-bit)
+    part_path = os.path.join(ROOT, "docs", "data",
+                             "irregular_scaling_points.json")
     rows = []
+    if os.path.exists(part_path):
+        with open(part_path) as f:
+            rows = json.load(f)
+    done = {(r["n"], r["eps"]) for r in rows}
     for n, grid in GRID.items():
         for eps in grid:
+            if (n, eps) in done:
+                continue
             r = run_point(n, eps, TRIALS[n])
             rows.append(r)
+            with open(part_path, "w") as f:
+                json.dump(rows, f, indent=1)
             print(f"n={n} eps={eps}: FER={r['fer']:.4f} "
                   f"({r['block_errors']} events, {r['excluded']} expurgated"
                   f", {r['seconds']}s)", flush=True)
