@@ -130,16 +130,24 @@ def main():
 
     code = sample_code(jax.random.key(1), N, 3, 6)
     ch = AWGN(SIGMA)
-    llr = ch.llr(ch.transmit(jax.random.key(2),
-                             jnp.zeros((N, B), jnp.int32)))
+
+    def mk_llr(i):
+        # fresh channel draw per rep: identical repeated executions can
+        # be short-circuited by the remote runtime, poisoning timings
+        return ch.llr(ch.transmit(jax.random.key(2 + i),
+                                  jnp.zeros((N, B), jnp.int32)))
+
+    llr = mk_llr(0)
 
     # unsharded flooding reference (production kernel)
     res = soft_bp_decode(code, llr, ROUNDS, method="minsum")
     jax.block_until_ready(res.posterior)
-    t0 = time.time()
-    res = soft_bp_decode(code, llr, ROUNDS, method="minsum")
-    jax.block_until_ready(res.posterior)
-    t_ref = time.time() - t0
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        r_i = soft_bp_decode(code, mk_llr(i), ROUNDS, method="minsum")
+    jax.block_until_ready(r_i.posterior)
+    t_ref = (time.perf_counter() - t0) / reps
     print(f"unsharded minsum n={N} B={B}: {t_ref/ROUNDS*1e3:.2f} ms/round "
           f"(iterations run: {int(res.iterations)})", flush=True)
 
@@ -157,10 +165,11 @@ def main():
         fn = make_sharded_minsum(code, mesh, ROUNDS)
         post = fn(code.chk_to_var, var_c, var_j, llr)
         jax.block_until_ready(post)
-        t0 = time.time()
-        post = fn(code.chk_to_var, var_c, var_j, llr)
-        jax.block_until_ready(post)
-        t = time.time() - t0
+        t0 = time.perf_counter()
+        for i in range(1, 4):
+            p_i = fn(code.chk_to_var, var_c, var_j, mk_llr(i * 7))
+        jax.block_until_ready(p_i)
+        t = (time.perf_counter() - t0) / 3
         err = float(jnp.max(jnp.abs(post - res.posterior)))
         dec_match = float(jnp.mean((post < 0) == (res.posterior < 0)))
         print(f"sharded D={D}: {t/ROUNDS*1e3:.2f} ms/round; max|dpost| "

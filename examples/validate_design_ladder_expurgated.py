@@ -64,12 +64,27 @@ def main():
         ensembles.append((f"LP dv_max={dv_max}", lam, thr))
         print(f"dv_max={dv_max}: eps*={thr:.4f}", flush=True)
 
+    # incremental resume (TPU worker crashes mid-run): completed points
+    # are persisted and skipped on restart (fixed per-point seeds)
+    part_path = os.path.join(ROOT, "docs", "data",
+                             "design_ladder_points.json")
+    part = {}
+    if os.path.exists(part_path):
+        with open(part_path) as f:
+            part = json.load(f)
     results = {}
     for name, lam, thr in ensembles:
         rows = []
         for eps in EPS:
+            k = f"{name}|{eps}"
+            if k in part:
+                rows.append(part[k])
+                continue
             r = run_point(lam, eps, TRIALS[eps])
             rows.append(r)
+            part[k] = r
+            with open(part_path, "w") as f:
+                json.dump(part, f, indent=1)
             print(f"{name} eps={eps}: expurgated BER={r['ber']:.3g} "
                   f"(<= {r['ber_hi']:.3g}), {r['excluded']} trials "
                   f"expurgated, {r['seconds']}s", flush=True)
