@@ -569,3 +569,24 @@ def test_irregular_alpha_fit_is_n_stable_on_hardware_data():
     a2, b2 = theory.fit_waterfall_alpha(pts, doc["threshold"])
     assert a2 == pytest.approx(alpha, rel=1e-6)
     assert b2 == pytest.approx(doc["beta"], rel=1e-6)
+
+
+def test_fit_recovers_closed_form_alpha_from_measured_data():
+    """Fitting the round-3 MEASURED regular waterfalls (n=1e5/1e6
+    edge-sharded Monte Carlo, docs/VALIDATION.md) must recover the
+    closed-form alpha(3,6) -- the end-to-end legitimacy check for the
+    irregular alpha measurement route (which has no closed form to
+    compare against)."""
+    thr = theory.calc_threshold(3, 6)
+    alpha_cf = theory.calculate_alpha(thr, 3, 6)
+    pts = ([(100_000, e, f) for e, f in zip(
+        [0.4250, 0.4275, 0.4290, 0.4310],
+        [0.0093, 0.1655, 0.4685, 0.8364])] +
+        [(1_000_000, e, f) for e, f in zip(
+            [0.4280, 0.4288, 0.4292, 0.4298],
+            [0.0068, 0.1299, 0.3818, 0.7852])])
+    a, b = theory.fit_waterfall_alpha(pts, thr)
+    assert a == pytest.approx(alpha_cf, rel=0.02)   # measured: 0.2% off
+    # beta is weakly identified at n >= 1e5 (the n^(-2/3) shift is
+    # ~2e-4 in eps) -- only sanity-bound it
+    assert 0.0 < b < 1.5
