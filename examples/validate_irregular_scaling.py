@@ -48,6 +48,11 @@ GRID = {
     65536: [0.442, 0.445, 0.448, 0.450, 0.452],
 }
 TRIALS = {4096: 65536, 8192: 65536, 16384: 32768, 65536: 16384}
+# per-execution batch: the remote worker reproducibly dies on long
+# single executions (n=16384 chunks at batch 8192 ran ~2 min each and
+# crashed the worker three times at the same point); smaller chunks
+# keep each XLA execution well under the tunnel's patience
+BATCH = {4096: 8192, 8192: 8192, 16384: 2048, 65536: 1024}
 
 
 def run_point(n, eps, trials, seed=17):
@@ -55,7 +60,7 @@ def run_point(n, eps, trials, seed=17):
     from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
     from iib_project_ldpc_codes_tpu.utils.stats import fer_ci
 
-    batch = min(8192, trials)
+    batch = BATCH[n]
     cfg = SimulationConfig(
         channel="BEC", channel_param=eps, n=n, lam=LAM, rho=RHO,
         decoder="bp", iterations=150, num_tests=trials, batch=batch,
