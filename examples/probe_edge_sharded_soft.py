@@ -139,17 +139,39 @@ def main():
 
     llr = mk_llr(0)
 
-    # unsharded flooding reference (production kernel)
+    # decision/posterior reference (production kernel, early exit OK)
     res = soft_bp_decode(code, llr, ROUNDS, method="minsum")
     jax.block_until_ready(res.posterior)
+
+    # unsharded flooding timing: fixed-rounds scan over the production
+    # iteration (the early-exiting while_loop kernel is untimeable here:
+    # its exit depends on the noise draw)
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import (_posterior,
+                                                        _soft_iteration,
+                                                        _soft_routing)
+
+    routing = _soft_routing(code)
+
+    @jax.jit
+    def flood_fixed(llr_in):
+        def body(mcv, _):
+            mcv, _, _ = _soft_iteration(code, llr_in, mcv, routing,
+                                        "minsum", 1.0, 0.0, jnp.float32,
+                                        False)
+            return mcv, None
+        mcv0 = jnp.zeros((code.dc * code.m, llr_in.shape[1]), jnp.float32)
+        mcv, _ = jax.lax.scan(body, mcv0, None, length=ROUNDS)
+        return _posterior(code, llr_in, mcv, routing, jnp.float32)
+
+    jax.block_until_ready(flood_fixed(llr))
     reps = 3
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
-        r_i = soft_bp_decode(code, mk_llr(i), ROUNDS, method="minsum")
-    jax.block_until_ready(r_i.posterior)
+        out = flood_fixed(mk_llr(i))
+    jax.block_until_ready(out)
     t_ref = (time.perf_counter() - t0) / reps
     print(f"unsharded minsum n={N} B={B}: {t_ref/ROUNDS*1e3:.2f} ms/round "
-          f"(iterations run: {int(res.iterations)})", flush=True)
+          f"(fixed {ROUNDS}-round scan)", flush=True)
 
     from jax.sharding import Mesh
 
