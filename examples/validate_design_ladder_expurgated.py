@@ -33,7 +33,10 @@ def run_point(lam, eps, trials, seed=23):
     from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
     from iib_project_ldpc_codes_tpu.utils.stats import ber_ci
 
-    batch = 8192
+    # 4096 keeps each XLA execution well under the remote worker's
+    # patience (8192-trial chunks at 150 iters ran ~60-80 s and
+    # repeatedly crashed it near threshold)
+    batch = 4096
     cfg = SimulationConfig(
         channel="BEC", channel_param=eps, n=N, lam=list(map(float, lam)),
         rho=RHO, decoder="bp", iterations=150, num_tests=trials,
