@@ -301,6 +301,34 @@ def irregular_critical_x(lam, rho, erasure_prob: float | None = None
     return float(xs[idx[-1] + 1])
 
 
+def fit_waterfall_full(points):
+    """Fit (alpha, beta, threshold) jointly from measured waterfalls.
+
+    Same probit-linear structure as :func:`fit_waterfall_alpha` with the
+    threshold as a third unknown:
+
+        sqrt(n) p_i = alpha z_i - beta n^(-1/6) + theta sqrt(n)
+
+    (p = the channel parameter).  Needs points at >= 2 distinct n (the
+    sqrt(n) and n^(-1/6) columns must be distinguishable).  Returns
+    ``(alpha, beta, threshold_hat)`` -- a MEASUREMENT of the ensemble
+    threshold from finite-length waterfalls alone, cross-checkable
+    against density evolution (tests: recovers eps*(3,6) from the
+    measured n=1e5/1e6 hardware FERs).
+    """
+    pts = [(float(n), float(e), float(f)) for n, e, f in points
+           if 0.0 < f < 1.0]
+    if len({n for n, _, _ in pts}) < 2 or len(pts) < 3:
+        raise ValueError("need >= 3 unsaturated points at >= 2 distinct n")
+    z = np.asarray([_norm_ppf_np(f) for _, _, f in pts])
+    rhs = np.asarray([math.sqrt(n) * e for n, e, _ in pts])
+    a = np.stack([z,
+                  np.asarray([-n ** (-1.0 / 6.0) for n, _, _ in pts]),
+                  np.asarray([math.sqrt(n) for n, _, _ in pts])], axis=1)
+    sol, *_ = np.linalg.lstsq(a, rhs, rcond=None)
+    return float(sol[0]), float(sol[1]), float(sol[2])
+
+
 def fit_waterfall_alpha(points, threshold: float, fit_shift: bool = True):
     """Fit the finite-length scaling law to measured waterfall FERs.
 

@@ -590,3 +590,34 @@ def test_fit_recovers_closed_form_alpha_from_measured_data():
     # beta is weakly identified at n >= 1e5 (the n^(-2/3) shift is
     # ~2e-4 in eps) -- only sanity-bound it
     assert 0.0 < b < 1.5
+
+
+def test_fit_waterfall_full_recovers_threshold():
+    """The 3-parameter fit must recover (alpha, beta, eps*) exactly from
+    synthetic law data, and measure eps*(3,6) from round-3's real
+    hardware FERs to ~1e-4."""
+    import numpy as np
+
+    thr = theory.calc_threshold(3, 6)
+    alpha = theory.calculate_alpha(thr, 3, 6)
+    beta = theory.BETA_3_6
+    pts = [(n, e, float(theory.waterfall_block_error_fitted(
+        n, e, thr, alpha, beta)))
+        for n in (2048, 8192, 65536)
+        for e in np.linspace(thr - 0.02, thr - 0.002, 4)]
+    a, b, t = theory.fit_waterfall_full(pts)
+    assert a == pytest.approx(alpha, rel=1e-6)
+    assert b == pytest.approx(beta, rel=1e-5)
+    assert t == pytest.approx(thr, abs=1e-9)
+    # measured hardware data (round 3, n=1e5/1e6 edge-sharded MC)
+    real = ([(100_000, e, f) for e, f in zip(
+        [0.4250, 0.4275, 0.4290, 0.4310],
+        [0.0093, 0.1655, 0.4685, 0.8364])] +
+        [(1_000_000, e, f) for e, f in zip(
+            [0.4280, 0.4288, 0.4292, 0.4298],
+            [0.0068, 0.1299, 0.3818, 0.7852])])
+    a2, _, t2 = theory.fit_waterfall_full(real)
+    assert t2 == pytest.approx(thr, abs=3e-4)   # measured: ~1e-4 off
+    assert a2 == pytest.approx(alpha, rel=0.1)
+    with pytest.raises(ValueError):
+        theory.fit_waterfall_full([(8192, 0.42, 0.3), (8192, 0.43, 0.5)])
