@@ -621,3 +621,24 @@ def test_fit_waterfall_full_recovers_threshold():
     assert a2 == pytest.approx(alpha, rel=0.1)
     with pytest.raises(ValueError):
         theory.fit_waterfall_full([(8192, 0.42, 0.3), (8192, 0.43, 0.5)])
+
+
+def test_awgn_alpha_fit_hardware_data():
+    """Gated on the measured AWGN scaling data: the fitted sigma* must
+    agree with the population-DE threshold (0.879 +- 0.003) and the
+    per-n alpha must be n-stable."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "data",
+                        "awgn_scaling.json")
+    if not os.path.exists(path):
+        pytest.skip("hardware AWGN scaling data not generated yet")
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["sigma_star_fit"] == pytest.approx(doc["sigma_star_de"],
+                                                  abs=0.008)
+    per_n = doc["alpha_per_n"]
+    assert len(per_n) >= 3
+    for n, a in per_n.items():
+        assert abs(a / doc["alpha3"] - 1.0) < 0.2, (n, a)
