@@ -19,18 +19,32 @@ docs/figures/awgn_waterfall_scaling.png.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SIGMA_STAR_DE = 0.879      # population-DE anchor (docs/VALIDATION.md)
 
-GRID = {
-    1024: [0.790, 0.805, 0.820, 0.835, 0.850],
-    4096: [0.820, 0.832, 0.844, 0.856, 0.866],
-    16384: [0.844, 0.852, 0.858, 0.864, 0.870],
+#: decoder variants: sum-product f32 vs the production int8 min-sum,
+#: each against its OWN population-DE threshold (docs/VALIDATION.md)
+VARIANTS = {
+    "sumproduct": dict(
+        decoder="sumproduct", msg_dtype="float32", sigma_star=0.879,
+        grid={1024: [0.790, 0.805, 0.820, 0.835, 0.850],
+              4096: [0.820, 0.832, 0.844, 0.856, 0.866],
+              16384: [0.844, 0.852, 0.858, 0.864, 0.870]},
+        tag=""),
+    "minsum-int8": dict(
+        decoder="minsum", msg_dtype="int8", sigma_star=0.8220,
+        grid={1024: [0.733, 0.748, 0.763, 0.778, 0.793],
+              4096: [0.763, 0.775, 0.787, 0.799, 0.809],
+              16384: [0.787, 0.795, 0.801, 0.807, 0.813]},
+        tag="_int8"),
 }
+VARIANT = VARIANTS[sys.argv[1] if len(sys.argv) > 1 else "sumproduct"]
+SIGMA_STAR_DE = VARIANT["sigma_star"]
+GRID = VARIANT["grid"]
 TRIALS = {1024: 16384, 4096: 16384, 16384: 8192}
 BATCH = {1024: 4096, 4096: 4096, 16384: 1024}
 
@@ -42,7 +56,8 @@ def run_point(n, sigma, trials, seed=29):
 
     cfg = SimulationConfig(
         channel="AWGN", channel_param=sigma, n=n, dv=3, dc=6,
-        decoder="sumproduct", iterations=100, num_tests=trials,
+        decoder=VARIANT["decoder"], soft_msg_dtype=VARIANT["msg_dtype"],
+        iterations=100, num_tests=trials,
         batch=BATCH[n], codes_per_chunk=BATCH[n] // 32,
         max_block_errors=10 ** 9, seed=seed, code_mode="ensemble")
     t0 = time.time()
@@ -63,7 +78,7 @@ def main():
     from iib_project_ldpc_codes_tpu.utils import theory
 
     part_path = os.path.join(ROOT, "docs", "data",
-                             "awgn_scaling_points.json")
+                             f"awgn_scaling_points{VARIANT['tag']}.json")
     rows = []
     if os.path.exists(part_path):
         with open(part_path) as f:
@@ -100,7 +115,7 @@ def main():
         print(f"alpha_hat(n={n}) = {per_n[n]:.4f}", flush=True)
 
     with open(os.path.join(ROOT, "docs", "data",
-                           "awgn_scaling.json"), "w") as f:
+                           f"awgn_scaling{VARIANT['tag']}.json"), "w") as f:
         json.dump(dict(sigma_star_de=SIGMA_STAR_DE, alpha=alpha,
                        beta=beta, alpha3=a3, beta3=b3,
                        sigma_star_fit=thr_hat, alpha_per_n=per_n,
@@ -136,7 +151,7 @@ def main():
     ax.grid(alpha=0.3)
     fig.tight_layout()
     fig.savefig(os.path.join(ROOT, "docs", "figures",
-                             "awgn_waterfall_scaling.png"), dpi=130)
+                             f"awgn_waterfall_scaling{VARIANT['tag']}.png"), dpi=130)
     print("wrote docs/data/awgn_scaling.json + figure")
 
 
