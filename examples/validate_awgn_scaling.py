@@ -145,14 +145,15 @@ def main():
     ax.set_ylim(1e-3, 1.2)
     ax.set_xlabel("AWGN noise sigma")
     ax.set_ylabel("FER")
-    ax.set_title("(3,6) sum-product AWGN waterfalls vs fitted "
-                 "scaling law")
+    ax.set_title(f"(3,6) {VARIANT['decoder']}"
+                 f"{' int8' if VARIANT['msg_dtype'] == 'int8' else ''} "
+                 "AWGN waterfalls vs fitted scaling law")
     ax.legend(fontsize=8)
     ax.grid(alpha=0.3)
     fig.tight_layout()
     fig.savefig(os.path.join(ROOT, "docs", "figures",
                              f"awgn_waterfall_scaling{VARIANT['tag']}.png"), dpi=130)
-    print("wrote docs/data/awgn_scaling.json + figure")
+    print(f"wrote docs/data/awgn_scaling{VARIANT['tag']}.json + figure")
 
 
 if __name__ == "__main__":

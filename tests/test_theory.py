@@ -630,15 +630,20 @@ def test_awgn_alpha_fit_hardware_data():
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "docs", "data",
-                        "awgn_scaling.json")
-    if not os.path.exists(path):
+    base = os.path.join(os.path.dirname(__file__), "..", "docs", "data")
+    any_found = False
+    for fname in ("awgn_scaling.json", "awgn_scaling_int8.json"):
+        path = os.path.join(base, fname)
+        if not os.path.exists(path):
+            continue
+        any_found = True
+        with open(path) as f:
+            doc = json.load(f)
+        assert doc["sigma_star_fit"] == pytest.approx(
+            doc["sigma_star_de"], abs=0.008), fname
+        per_n = doc["alpha_per_n"]
+        assert len(per_n) >= 3
+        for n, a in per_n.items():
+            assert abs(a / doc["alpha3"] - 1.0) < 0.2, (fname, n, a)
+    if not any_found:
         pytest.skip("hardware AWGN scaling data not generated yet")
-    with open(path) as f:
-        doc = json.load(f)
-    assert doc["sigma_star_fit"] == pytest.approx(doc["sigma_star_de"],
-                                                  abs=0.008)
-    per_n = doc["alpha_per_n"]
-    assert len(per_n) >= 3
-    for n, a in per_n.items():
-        assert abs(a / doc["alpha3"] - 1.0) < 0.2, (n, a)
