@@ -41,6 +41,20 @@ VARIANTS = {
               4096: [0.763, 0.775, 0.787, 0.799, 0.809],
               16384: [0.787, 0.795, 0.801, 0.807, 0.813]},
         tag="_int8"),
+    # the irregular rate-1/2 pair: its only AWGN threshold anchor is the
+    # GAUSSIAN-APPROXIMATION value 0.9043 (~0.5% pessimistic by
+    # construction); the fitted threshold here is an exact-DE-equivalent
+    # measurement, so fit-minus-GA quantifies the GA error.  Grids sit
+    # in the waterfall (FER 0.02-0.5) where the lambda2 cycle floor is
+    # negligible relative to waterfall mass.
+    "irregular": dict(
+        decoder="sumproduct", msg_dtype="float32", sigma_star=0.9043,
+        lam=[0.0, 1 / 3, 0.0, 2 / 3],
+        rho=[0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+        grid={1024: [0.815, 0.830, 0.845, 0.860, 0.875],
+              4096: [0.845, 0.857, 0.869, 0.879, 0.888],
+              16384: [0.869, 0.877, 0.883, 0.889, 0.894]},
+        tag="_irregular"),
 }
 VARIANT = VARIANTS[sys.argv[1] if len(sys.argv) > 1 else "sumproduct"]
 SIGMA_STAR_DE = VARIANT["sigma_star"]
@@ -56,6 +70,7 @@ def run_point(n, sigma, trials, seed=29):
 
     cfg = SimulationConfig(
         channel="AWGN", channel_param=sigma, n=n, dv=3, dc=6,
+        lam=VARIANT.get("lam"), rho=VARIANT.get("rho"),
         decoder=VARIANT["decoder"], soft_msg_dtype=VARIANT["msg_dtype"],
         iterations=100, num_tests=trials,
         batch=BATCH[n], codes_per_chunk=BATCH[n] // 32,
