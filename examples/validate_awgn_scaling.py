@@ -44,13 +44,14 @@ VARIANTS = {
     # the irregular rate-1/2 pair: its only AWGN threshold anchor is the
     # GAUSSIAN-APPROXIMATION value 0.9043 (~0.5% pessimistic by
     # construction); the fitted threshold here is an exact-DE-equivalent
-    # measurement, so fit-minus-GA quantifies the GA error.  Grids sit
-    # in the waterfall (FER 0.02-0.5) where the lambda2 cycle floor is
-    # negligible relative to waterfall mass.
+    # measurement, so fit-minus-GA quantifies the GA error.  The pair's
+    # AWGN lambda2 cycle floor is LARGE (measured FER ~0.08-0.15 deep
+    # below threshold at n=1024-4096), so this variant uses soft
+    # expurgation (s = n/100; the round-4 engine extension).
     "irregular": dict(
         decoder="sumproduct", msg_dtype="float32", sigma_star=0.9043,
         lam=[0.0, 1 / 3, 0.0, 2 / 3],
-        rho=[0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+        rho=[0.0, 0.0, 0.0, 0.0, 0.0, 1.0], expurgate=True,
         grid={1024: [0.815, 0.830, 0.845, 0.860, 0.875],
               4096: [0.845, 0.857, 0.869, 0.879, 0.888],
               16384: [0.869, 0.877, 0.883, 0.889, 0.894]},
@@ -72,6 +73,8 @@ def run_point(n, sigma, trials, seed=29):
         channel="AWGN", channel_param=sigma, n=n, dv=3, dc=6,
         lam=VARIANT.get("lam"), rho=VARIANT.get("rho"),
         decoder=VARIANT["decoder"], soft_msg_dtype=VARIANT["msg_dtype"],
+        expurgation=(max(32, n // 100) if VARIANT.get("expurgate")
+                     else None),
         iterations=100, num_tests=trials,
         batch=BATCH[n], codes_per_chunk=BATCH[n] // 32,
         max_block_errors=10 ** 9, seed=seed, code_mode="ensemble")

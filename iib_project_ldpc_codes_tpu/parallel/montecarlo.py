@@ -151,9 +151,34 @@ def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
     )
 
 
+def _final_count_stats(error_totals, final, expurgation
+                       ) -> ChunkStats:
+    """ChunkStats from per-trial final error counts, with the
+    expurgation gate (trials with final <= s excluded from block/bit
+    statistics but still counted, parallel_simulator_expurgated.py:238).
+
+    Unlike the BEC path's two-pass re-decode, soft/hard-decision decodes
+    are not monotone in a masked input, so ``error_totals`` stays the
+    RAW per-iteration series under expurgation (documented on the
+    config field); final-count statistics are exactly expurgated.
+    """
+    if expurgation is None:
+        include = jnp.ones_like(final, bool)
+    else:
+        include = final > expurgation
+    gated = final * include
+    return ChunkStats(
+        error_totals=error_totals,
+        block_errors=jnp.sum(include & (final > 0)).astype(jnp.int32),
+        bit_errors=jnp.sum(gated).astype(jnp.int32),
+        excluded=jnp.sum(~include).astype(jnp.int32),
+        bit_errors_sq=jnp.sum(jnp.square(gated.astype(jnp.float32))),
+    )
+
+
 def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
                     iterations: int, crossover_prob,
-                    threshold=None) -> ChunkStats:
+                    threshold=None, expurgation=None) -> ChunkStats:
     """BSC hard-decision chunk: packed flip mask -> Gallager-A/B decode
     (regular LDPCCode or IrregularLDPCCode)."""
     from ..ops.gallager import (gallager_decode_packed,
@@ -164,20 +189,15 @@ def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
               if isinstance(code, IrregularLDPCCode)
               else gallager_decode_packed)
     res = decode(code, received, iterations, threshold=threshold)
-    return ChunkStats(
-        error_totals=res.error_totals,
-        block_errors=jnp.sum(res.failed).astype(jnp.int32),
-        bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
-        excluded=jnp.int32(0),
-        bit_errors_sq=jnp.sum(jnp.square(res.bit_errors
-                                         .astype(jnp.float32))),
-    )
+    return _final_count_stats(res.error_totals, res.bit_errors,
+                              expurgation)
 
 
 def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
                 iterations: int, channel: str, channel_param,
                 method: str, alpha: float = 1.0, beta: float = 0.0,
-                msg_dtype=jnp.float32, enc_planes=None) -> ChunkStats:
+                msg_dtype=jnp.float32, enc_planes=None,
+                expurgation=None) -> ChunkStats:
     """AWGN/BSC soft-decision chunk: LLRs -> min-sum or sum-product BP
     (regular LDPCCode or IrregularLDPCCode).  ``enc_planes`` switches to
     random-codeword transmit (errors counted against the true codeword --
@@ -210,14 +230,8 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
     res = decode(code, llr, iterations, method=method,
                  alpha=alpha, beta=beta, msg_dtype=msg_dtype,
                  tx_bits=tx_bits)
-    return ChunkStats(
-        error_totals=res.error_totals,
-        block_errors=jnp.sum(res.failed).astype(jnp.int32),
-        bit_errors=jnp.sum(res.bit_errors).astype(jnp.int32),
-        excluded=jnp.int32(0),
-        bit_errors_sq=jnp.sum(jnp.square(res.bit_errors
-                                         .astype(jnp.float32))),
-    )
+    return _final_count_stats(res.error_totals, res.bit_errors,
+                              expurgation)
 
 
 def _fresh_codes_chunk(key: jax.Array, *, num_codes: int, sample_fn,
@@ -304,14 +318,16 @@ def _build_chunk_jit(cfg: SimulationConfig, mesh, n_dev: int):
                 return _gallager_chunk(c, key, n=cfg.n, words=sub_words,
                                        iterations=cfg.iterations,
                                        crossover_prob=channel_param,
-                                       threshold=cfg.gallager_threshold)
+                                       threshold=cfg.gallager_threshold,
+                                       expurgation=cfg.expurgation)
             return _soft_chunk(c, key, n=cfg.n, batch=sub_words * 32,
                                iterations=cfg.iterations, channel=cfg.channel,
                                channel_param=channel_param,
                                method=cfg.decoder, alpha=cfg.minsum_alpha,
                                beta=cfg.minsum_beta,
                                msg_dtype=jnp.dtype(cfg.soft_msg_dtype),
-                               enc_planes=enc_planes)
+                               enc_planes=enc_planes,
+                               expurgation=cfg.expurgation)
 
         return decode_one
 

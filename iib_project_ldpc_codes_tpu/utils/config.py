@@ -83,9 +83,14 @@ class SimulationConfig:
     # the unsharded engine's.
     edge_sharded: bool = False
     codes_per_chunk: int = 32     # fresh codes per chunk in ensemble mode
-    expurgation: Optional[int] = None  # exclude trials with <= s final
-                                       # erasures from the statistics
-                                       # (parallel_simulator_expurgated.py:238)
+    # Exclude trials with <= s final errors from the statistics while
+    # still counting them as trials (parallel_simulator_expurgated.py
+    # :238).  Supported by every batched decoder family: BEC bp (exact,
+    # incl. per-iteration totals via two-pass decode), Gallager, and the
+    # soft decoders (final-count statistics exactly expurgated;
+    # error_rate_per_iteration stays RAW for those two -- non-monotone
+    # decoders admit no masked re-decode).
+    expurgation: Optional[int] = None
 
     # IO
     output_dir: str = "results"

@@ -473,3 +473,28 @@ def test_int8_minsum_mc_brackets_its_population_de_threshold():
     hi = run(0.822 + 0.05)
     assert lo.bit_error_rate < 2e-3
     assert hi.bit_error_rate > 10 * max(lo.bit_error_rate, 1e-5)
+
+
+def test_soft_expurgation_removes_awgn_lambda2_floor():
+    """Expurgation now applies to the soft decoders: the irregular
+    pair's AWGN cycle floor (small-bit-count failures deep below
+    threshold) must vanish under s = n/100 while total trials are still
+    counted.  (Previously cfg.expurgation was silently ignored for
+    soft/Gallager chunks.)"""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    LAM = [0, 1 / 3, 0, 2 / 3]
+    RHO = [0, 0, 0, 0, 0, 1.0]
+    kw = dict(channel="AWGN", channel_param=0.80, n=1024, lam=LAM,
+              rho=RHO, decoder="sumproduct", iterations=60,
+              num_tests=2048, batch=1024, codes_per_chunk=32,
+              max_block_errors=10 ** 9, seed=13, code_mode="ensemble")
+    raw = run_simulation(SimulationConfig(**kw))
+    exp = run_simulation(SimulationConfig(expurgation=10, **kw))
+    assert raw.num_trials == exp.num_trials == 2048
+    # sigma=0.80 is deep below the pair's GA threshold 0.904: raw FER is
+    # nearly all cycle floor; expurgation removes (almost) all of it
+    assert raw.block_error_rate > 0.05
+    assert exp.block_error_rate < 0.25 * raw.block_error_rate
+    assert exp.excluded_trials > 0
