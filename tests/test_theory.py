@@ -569,6 +569,10 @@ def test_irregular_alpha_fit_is_n_stable_on_hardware_data():
     a2, b2 = theory.fit_waterfall_alpha(pts, doc["threshold"])
     assert a2 == pytest.approx(alpha, rel=1e-6)
     assert b2 == pytest.approx(doc["beta"], rel=1e-6)
+    # and the 3-parameter fit MEASURES the ensemble threshold from the
+    # waterfalls alone: within 5e-4 of irregular DE (measured: 3e-4)
+    _, _, thr_hat = theory.fit_waterfall_full(pts)
+    assert thr_hat == pytest.approx(doc["threshold"], abs=5e-4)
 
 
 def test_fit_recovers_closed_form_alpha_from_measured_data():
