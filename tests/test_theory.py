@@ -651,3 +651,20 @@ def test_awgn_alpha_fit_hardware_data():
             assert abs(a / doc["alpha3"] - 1.0) < 0.2, (fname, n, a)
     if not any_found:
         pytest.skip("hardware AWGN scaling data not generated yet")
+
+
+def test_bsc_alpha_fit_hardware_data():
+    """Gated on the measured BSC Gallager-A scaling data: fitted p*
+    within 1e-3 of DE, per-n alpha n-stable."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "data",
+                        "bsc_scaling.json")
+    if not os.path.exists(path):
+        pytest.skip("hardware BSC scaling data not generated yet")
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["p_star_fit"] == pytest.approx(doc["p_star_de"], abs=1e-3)
+    for n, a in doc["alpha_per_n"].items():
+        assert abs(a / doc["alpha3"] - 1.0) < 0.1, (n, a)
