@@ -76,10 +76,21 @@ def encoder_planes(enc: Encoder):
 
     ``mask`` is bool[rank, k_eff] (parity bit r = XOR of the selected
     info bits), unpacked from the host encoder's uint64 rows once.
+
+    The dense mask is O(n^2) host memory plus a device transfer
+    (rank * k_eff ~ n^2/4 bools): random-codeword transmit is a
+    validation-scale feature.  Guarded at 256 MB (~n = 3e4) with a clear
+    error instead of an OOM deep in the chunk build.
     """
     import jax.numpy as jnp
 
     rank, k_eff = enc.rank, enc.k_eff
+    if rank * k_eff > 2 ** 28:
+        raise ValueError(
+            f"encoder_planes would materialise a {rank}x{k_eff} dense "
+            "GF(2) map (> 256 MB): transmit='random' is a validation-"
+            "scale feature (n up to ~3e4); use the all-zero transmit at "
+            "larger block lengths")
     mask = np.zeros((rank, k_eff), bool)
     for j in range(k_eff):
         mask[:, j] = (enc.parity_map[:, j // _WORD]

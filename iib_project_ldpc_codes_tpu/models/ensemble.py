@@ -199,7 +199,7 @@ def code_for_config(cfg):
     """
     import jax
 
-    if getattr(cfg, "lam", None) is not None:
+    if cfg.lam is not None:
         import hashlib
 
         from .irregular import IrregularEnsembleSpec

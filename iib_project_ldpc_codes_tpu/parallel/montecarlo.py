@@ -293,7 +293,7 @@ def _chunk_static_key(cfg: SimulationConfig, mesh, n_dev: int):
             cfg.iterations, cfg.batch, cfg.sampler, cfg.expurgation,
             cfg.gallager_threshold, cfg.minsum_alpha, cfg.minsum_beta,
             cfg.soft_msg_dtype, cfg.codes_per_chunk,
-            getattr(cfg, "transmit", "zero"), n_dev, mesh)
+            cfg.transmit, n_dev, mesh)
 
 
 def _build_chunk_jit(cfg: SimulationConfig, mesh, n_dev: int):
@@ -402,7 +402,7 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         raise ValueError("fixed code_mode requires a code")
 
     enc_planes = None
-    if getattr(cfg, "transmit", "zero") == "random":
+    if cfg.transmit == "random":
         # __post_init__ guarantees fixed-code mode; derive the systematic
         # encoder once on the host, ship the GF(2) map as traced arrays
         from ..models.encode import encoder_planes, make_encoder

@@ -60,8 +60,8 @@ class SimulationConfig:
     # vestigial encode, simulator.py:61-64, made load-bearing), transmit
     # them, and count errors against the true codeword.  Measures the
     # all-zero/channel-symmetry equivalence instead of assuming it.
-    # Fixed-code mode only (one host-side encoder derivation per run);
-    # supported for BEC+bp and the soft decoders.
+    # Validation-scale feature: the encoder map is a dense O(n^2) host
+    # array (models.encode.encoder_planes guards at ~n = 3e4).
     transmit: str = "zero"
 
     # Stopping rules (parallel_simulator.py:198)

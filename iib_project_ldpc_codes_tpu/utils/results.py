@@ -75,7 +75,7 @@ class SimulationResult:
 
 def encode_filename(result: SimulationResult, extension: str = ".json") -> str:
     cfg = result.config
-    irregular = getattr(cfg, "lam", None) is not None
+    irregular = cfg.lam is not None
     parts = ["irregular_code" if irregular else "regular_code"]
     if cfg.expurgation is not None:
         parts[0] += f"_expurgated={cfg.expurgation}"

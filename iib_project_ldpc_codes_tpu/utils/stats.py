@@ -127,12 +127,14 @@ def ber_ci(result: SimulationResult, alpha: float = 0.05
     if result.bit_errors_sq is not None and trials > 1:
         s1 = float(result.bit_errors)
         if s1 == 0.0:
-            # Zero observed bit errors says nothing with certainty: use the
-            # generalised rule-of-three upper bound at block level
-            # (Clopper-Pearson with 0 successes: P <= ln(2/alpha)/T, which
-            # is the classic 3/T at alpha=0.05) scaled by the worst
-            # per-block error fraction -- the channel fraction when
-            # recorded, else a whole block.
+            # Zero observed bit errors says nothing with certainty: use
+            # the two-sided Clopper-Pearson bound with 0 successes,
+            # P <= ln(2/alpha)/T = ln(40)/T ~= 3.69/T at alpha=0.05
+            # (deliberately wider than the one-sided rule of three,
+            # ln(20)/T ~= 3/T, to pair with the two-sided intervals
+            # everywhere else), scaled by the worst per-block error
+            # fraction -- the channel fraction when recorded, else a
+            # whole block.
             max_frac = max(result.error_rate_per_iteration[0]
                            if result.error_rate_per_iteration else 1.0, 1 / n)
             return 0.0, math.log(2.0 / alpha) / trials * max_frac

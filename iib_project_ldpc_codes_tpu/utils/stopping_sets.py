@@ -239,9 +239,19 @@ class StoppingSetAnalysis:
         the A recursion only runs up to v = e_hi.
 
         Returns ``(value, bound)`` with value <= true <= value + bound.
+        (The bound also absorbs the representation of ``erasure_prob`` as
+        a rational with denominator <= 10^9; that rounding perturbs the
+        polynomial value by O(n * 2^-30) ~ 1e-6 relative at reference
+        scale, orders below any ``tail_mass`` in practical use.)
         """
         n = self.n
         eps = float(erasure_prob)
+        if eps <= 0.0 or eps >= 1.0:
+            # Degenerate channels: eps=0 erases nothing (error 0); eps=1
+            # erases everything -- only the e=n term survives, exactly.
+            if eps <= 0.0:
+                return 0.0, 0.0
+            return _frac_to_float(Fraction(self.B(n)) / self.T(n)), 0.0
         # exact-enough binomial pmf in log space for window selection
         logpmf = [math.lgamma(n + 1) - math.lgamma(e + 1)
                   - math.lgamma(n - e + 1)

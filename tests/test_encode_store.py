@@ -91,6 +91,21 @@ def test_encode_packed_matches_host_encoder():
     assert not (h.astype(int) @ host_cw.T % 2).any()
 
 
+def test_encoder_planes_size_guard():
+    """The dense O(n^2) encoder map must refuse loudly above the
+    documented ceiling instead of OOMing mid-chunk-build."""
+    from iib_project_ldpc_codes_tpu.models.encode import (Encoder,
+                                                          encoder_planes)
+
+    # fabricate a huge-shape encoder without allocating n^2 host memory
+    fake = Encoder(n=100_000,
+                   pivot_cols=np.arange(50_000),
+                   free_cols=np.arange(50_000, 100_000),
+                   parity_map=np.zeros((1, 1), np.uint64))
+    with pytest.raises(ValueError, match="validation-scale"):
+        encoder_planes(fake)
+
+
 def test_random_codeword_mc_matches_all_zero_bec():
     """transmit='random' (encoder load-bearing end to end) must give the
     same BEC BP statistics as the all-zero convention -- the

@@ -154,6 +154,17 @@ def test_bit_error_bulk_matches_full():
         assert full - windowed <= bound
 
 
+def test_bit_error_bulk_degenerate_channels():
+    """eps in {0, 1} short-circuit exactly instead of raising a math
+    domain error (log(0)) in the window selection."""
+    a = StoppingSetAnalysis(60, 3, 6, X=1)
+    assert a.bit_error_bulk(0.0) == (0.0, 0.0)
+    one, bound = a.bit_error_bulk(1.0)
+    assert bound == 0.0
+    full, _ = a.bit_error(1.0)
+    assert one == pytest.approx(full, rel=1e-12)
+
+
 def test_B_prune_matches_unpruned_sweep():
     """The 2t + s <= v*dv loop prune drops only zero terms: compare with
     the reference's full k x k sweep on a small ensemble."""
