@@ -164,6 +164,62 @@ def write_legacy_csv(result: SimulationResult, directory: str) -> str:
     return path
 
 
+def result_from_legacy_csv(path: str) -> SimulationResult:
+    """Ingest a CSV written by the *reference's own* writers into a
+    :class:`SimulationResult`, so reference shards combine through
+    :func:`..combine.combine_results` alongside native JSON shards.
+
+    Counts are reconstructed by the reference's own reduction rule
+    ``round(rate * num * n)`` (tools/combine_data.py:49) -- exact for
+    rates that are integer ratios at these magnitudes.  Handles all
+    three writer layouts (parallel_simulator.py:20-42): message-passing,
+    optimal-only, and combined; fixed-code filenames are recognised by
+    the reference filename codec's ``number`` key (the reference's own
+    parser splits ``code_number=3`` into ``number=3`` the same way,
+    tools/combine_data.py:17-23).
+    """
+    parsed = read_legacy_csv(path)
+    params = decode_filename(path)
+    n = int(params["n"])
+    num = int(params["num"])
+    curve = parsed["error_rate_per_iteration"]
+    mp_block = parsed.get("Message passing block-wise error")
+    mp_bit = parsed.get("Message passing bit-wise error")
+    opt_block = parsed.get("Optimal decoding block-wise error")
+    opt_bit = parsed.get("Optimal decoding bit-wise error")
+    if mp_block is not None and opt_block is not None:
+        decoder = "both"
+    elif opt_block is not None:
+        decoder = "ml"
+    else:
+        decoder = "bp"
+    cfg = SimulationConfig(
+        channel="BEC", channel_param=float(params.get("BEC", 0.0)),
+        n=n, dv=int(params.get("dv", 3)), dc=int(params.get("dc", 6)),
+        decoder=decoder,
+        iterations=int(params.get("it", max(len(curve) - 1, 0))),
+        num_tests=num,
+        code_mode="fixed" if "number" in params else "ensemble",
+        code_number=int(params.get("number", 1)))
+    return SimulationResult(
+        config=cfg, num_trials=num,
+        error_rate_per_iteration=curve,
+        block_error_rate=mp_block if mp_block is not None else 0.0,
+        bit_error_rate=mp_bit if mp_bit is not None else 0.0,
+        optimal_block_error_rate=opt_block,
+        optimal_bit_error_rate=opt_bit,
+        block_errors=round((mp_block or 0.0) * num),
+        bit_errors=round((mp_bit or 0.0) * num * n),
+        optimal_block_errors=(round(opt_block * num)
+                              if opt_block is not None else None),
+        optimal_bit_errors=(round(opt_bit * num * n)
+                            if opt_bit is not None else None),
+        error_counts_per_iteration=(
+            [round(r * num * n) for r in curve] if curve else None),
+        timestamp=params.get("time", ""),
+        stopped_by="legacy_csv")
+
+
 def read_legacy_csv(path: str) -> dict:
     """Read a reference-format CSV back into a dict of curves + summaries."""
     import csv
