@@ -45,6 +45,53 @@ from .bitops import per_trial_counts, total_popcount
 from .channels import ERASURE
 
 
+def _run_to_fixed_point(state, step, counts_of, max_iters: int):
+    """Shared while_loop scaffold of every BEC BP decode in this module.
+
+    Runs ``state = step(state)`` until the summed error count is
+    unchanged for one round (on the BEC the known-set only grows, so an
+    unchanged count IS the fixed point), hits zero, or the budget runs
+    out -- the reference's termination (message_passing.c:16-19, :76-78)
+    in batch form.  ``counts_of(state)`` returns the per-round error
+    record: an int32 scalar (aggregate decoders) or int32[B] (the
+    per-trial-trajectory decoder); its shape sets the error array's.
+
+    Returns ``(state, errors[max_iters+1, ...], iterations)`` with the
+    trajectory tail filled with the final counts (stalled failures keep
+    their count, converged trials contribute zeros) -- bitwise the
+    reference's aggregate error-array semantics.
+
+    One implementation instead of four copies: a termination-semantics
+    bug needs fixing exactly once (round-4 verdict item 8); the
+    packed==naive and compiled-reference-C parity tests pin the
+    semantics bit-exactly.
+    """
+    c0 = counts_of(state)
+    total0 = jnp.sum(c0)
+    errors = jnp.zeros((max_iters + 1,) + c0.shape, jnp.int32).at[0].set(c0)
+
+    def cond(carry):
+        _, _, it, total, changed = carry
+        return (it < max_iters) & changed & (total > 0)
+
+    def body(carry):
+        state, errors, it, total, _ = carry
+        state = step(state)
+        c = counts_of(state)
+        new_total = jnp.sum(c)
+        errors = errors.at[it + 1].set(c)
+        return (state, errors, it + 1, new_total, new_total != total)
+
+    state, errors, it, _, _ = jax.lax.while_loop(
+        cond, body, (state, errors, jnp.int32(0), total0, total0 > -1))
+
+    final = counts_of(state)
+    tail = jnp.arange(max_iters + 1) > it
+    errors = jnp.where(tail.reshape((-1,) + (1,) * final.ndim), final,
+                       errors)
+    return state, errors, it
+
+
 # ---------------------------------------------------------------------------
 # Naive single-codeword implementation ({0,1,2} alphabet) -- the oracle.
 # ---------------------------------------------------------------------------
@@ -83,28 +130,10 @@ def bp_decode(code: LDPCCode, channel_output: jax.Array, max_iters: int
     channel_output = jnp.asarray(channel_output, jnp.int32)
     known0 = channel_output != ERASURE
     val0 = jnp.where(known0, channel_output, 0)
-    count0 = jnp.sum(~known0).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
-
-    def cond(carry):
-        _, _, _, it, count, changed = carry
-        return (it < max_iters) & changed & (count > 0)
-
-    def body(carry):
-        val, known, errors, it, count, _ = carry
-        val, known = _bp_iteration(code, val, known)
-        new_count = jnp.sum(~known).astype(jnp.int32)
-        errors = errors.at[it + 1].set(new_count)
-        return (val, known, errors, it + 1, new_count, new_count != count)
-
-    val, known, errors, it, count, _ = jax.lax.while_loop(
-        cond, body,
-        (val0, known0, errors, jnp.int32(0), count0, count0 > -1))
-
-    # Tail semantics: stalled count persists (message_passing.c:16-19);
-    # converged runs leave zeros (count == 0 writes zeros anyway).
-    tail = jnp.arange(max_iters + 1) > it
-    errors = jnp.where(tail, count, errors)
+    (val, known), errors, it = _run_to_fixed_point(
+        (val0, known0),
+        lambda s: _bp_iteration(code, *s),
+        lambda s: jnp.sum(~s[1]).astype(jnp.int32), max_iters)
     decoded = jnp.where(known, val, ERASURE)
     return decoded, errors, it
 
@@ -216,27 +245,12 @@ def bp_decode_packed(code: LDPCCode, erased: jax.Array, tx_bits: jax.Array,
     """
     known = ~erased
     val = tx_bits & known
-    count0 = (code.n * erased.shape[1] * 32
-              - total_popcount(known)).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
-
-    def cond(carry):
-        _, _, _, it, count, changed = carry
-        return (it < max_iters) & changed & (count > 0)
-
-    def body(carry):
-        val, known, errors, it, count, _ = carry
-        val, known = _packed_iteration(code, val, known)
-        new_count = (code.n * erased.shape[1] * 32
-                     - total_popcount(known)).astype(jnp.int32)
-        errors = errors.at[it + 1].set(new_count)
-        return (val, known, errors, it + 1, new_count, new_count != count)
-
-    val, known, errors, it, count, _ = jax.lax.while_loop(
-        cond, body, (val, known, errors, jnp.int32(0), count0, count0 > -1))
-
-    tail = jnp.arange(max_iters + 1) > it
-    errors = jnp.where(tail, count, errors)
+    total_bits = code.n * erased.shape[1] * 32
+    (val, known), errors, it = _run_to_fixed_point(
+        (val, known),
+        lambda s: _packed_iteration(code, *s),
+        lambda s: (total_bits - total_popcount(s[1])).astype(jnp.int32),
+        max_iters)
     return PackedBPResult(val=val, known=known, error_totals=errors,
                           iterations=it)
 
@@ -262,28 +276,12 @@ def bp_decode_packed_allzero(code: LDPCCode, erased: jax.Array,
     roughly half the per-iteration HBM traffic; ``val`` in the result is
     the all-zero plane.
     """
-    known = ~erased
-    count0 = (code.n * erased.shape[1] * 32
-              - total_popcount(known)).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
-
-    def cond(carry):
-        _, _, it, count, changed = carry
-        return (it < max_iters) & changed & (count > 0)
-
-    def body(carry):
-        known, errors, it, count, _ = carry
-        known = _packed_iteration_allzero(code, known)
-        new_count = (code.n * erased.shape[1] * 32
-                     - total_popcount(known)).astype(jnp.int32)
-        errors = errors.at[it + 1].set(new_count)
-        return (known, errors, it + 1, new_count, new_count != count)
-
-    known, errors, it, count, _ = jax.lax.while_loop(
-        cond, body, (known, errors, jnp.int32(0), count0, count0 > -1))
-
-    tail = jnp.arange(max_iters + 1) > it
-    errors = jnp.where(tail, count, errors)
+    total_bits = code.n * erased.shape[1] * 32
+    known, errors, it = _run_to_fixed_point(
+        ~erased,
+        lambda kn: _packed_iteration_allzero(code, kn),
+        lambda kn: (total_bits - total_popcount(kn)).astype(jnp.int32),
+        max_iters)
     return PackedBPResult(val=jnp.zeros_like(known), known=known,
                           error_totals=errors, iterations=it)
 
@@ -304,29 +302,10 @@ def bp_decode_packed_traj(code: LDPCCode, erased: jax.Array,
     """
     known = ~erased
     val = tx_bits & known
-    B = erased.shape[1] * 32
-    count0 = per_trial_counts(~known, axis=0)  # [B]
-    traj = jnp.zeros((max_iters + 1, B), jnp.int32).at[0].set(count0)
-    total0 = jnp.sum(count0)
-
-    def cond(carry):
-        _, _, _, it, total, changed = carry
-        return (it < max_iters) & changed & (total > 0)
-
-    def body(carry):
-        val, known, traj, it, total, _ = carry
-        val, known = _packed_iteration(code, val, known)
-        counts = per_trial_counts(~known, axis=0)
-        new_total = jnp.sum(counts)
-        traj = traj.at[it + 1].set(counts)
-        return (val, known, traj, it + 1, new_total, new_total != total)
-
-    val, known, traj, it, total, _ = jax.lax.while_loop(
-        cond, body, (val, known, traj, jnp.int32(0), total0, total0 > -1))
-
-    final_counts = per_trial_counts(~known, axis=0)
-    tail = (jnp.arange(max_iters + 1) > it)[:, None]
-    traj = jnp.where(tail, final_counts[None, :], traj)
+    (val, known), traj, it = _run_to_fixed_point(
+        (val, known),
+        lambda s: _packed_iteration(code, *s),
+        lambda s: per_trial_counts(~s[1], axis=0), max_iters)
     result = PackedBPResult(val=val, known=known,
                             error_totals=jnp.sum(traj, axis=1),
                             iterations=it)
@@ -425,8 +404,6 @@ def bp_decode_irregular(code, channel_output: jax.Array, max_iters: int
     val0 = jnp.where(known0, jnp.concatenate([channel_output,
                                               jnp.zeros((1,), jnp.int32)]), 0)
     var_mask = code.var_mask          # bool[n+1, dv_max]
-    count0 = jnp.sum(~known0).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
     def iteration(val, known):
         row_val = val[code.chk_to_var]       # [m+1, dc_max]
@@ -445,22 +422,9 @@ def bp_decode_irregular(code, channel_output: jax.Array, max_iters: int
         new_val = jnp.where(known, val, adopt * any_valid)
         return new_val, new_known
 
-    def cond(carry):
-        _, _, _, it, count, changed = carry
-        return (it < max_iters) & changed & (count > 0)
-
-    def body(carry):
-        val, known, errors, it, count, _ = carry
-        val, known = iteration(val, known)
-        new_count = jnp.sum(~known).astype(jnp.int32)
-        errors = errors.at[it + 1].set(new_count)
-        return (val, known, errors, it + 1, new_count, new_count != count)
-
-    val, known, errors, it, count, _ = jax.lax.while_loop(
-        cond, body,
-        (val0, known0, errors, jnp.int32(0), count0, count0 > -1))
-
-    tail = jnp.arange(max_iters + 1) > it
-    errors = jnp.where(tail, count, errors)
+    (val, known), errors, it = _run_to_fixed_point(
+        (val0, known0),
+        lambda s: iteration(*s),
+        lambda s: jnp.sum(~s[1]).astype(jnp.int32), max_iters)
     decoded = jnp.where(known, val, ERASURE)[:-1]
     return decoded, errors, it
