@@ -90,9 +90,18 @@ def _flip_at_threshold(others: List[jax.Array], threshold) -> jax.Array:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GallagerResult:
-    decided: jax.Array       # uint32[n, W] final hard decisions (bit planes)
-    error_totals: jax.Array  # int32[max_iters+1] decision errors vs all-zero
+    # uint32[n, W] final decision bit planes.  All-zero transmit: set bit
+    # = decision error; with ``tx_bits`` given the planes are decision ^
+    # tx, so they stay error indicators either way (the soft decoder's
+    # convention, ops/soft_bp.SoftBPResult.hard).
+    decided: jax.Array
+    error_totals: jax.Array  # int32[max_iters+1] decision errors vs transmit
     iterations: jax.Array
+    # int32[max_iters+1, B] per-trial error trajectories (reference
+    # ``errors`` array per trial); only populated by record="per_trial"
+    # -- the expurgated-driver path, which must exclude whole per-trial
+    # series by their final count (parallel_simulator_expurgated.py:238).
+    traj: jax.Array | None = None
 
     @property
     def bit_errors(self) -> jax.Array:
@@ -166,21 +175,34 @@ def _gallager_iteration(code: LDPCCode, channel: jax.Array, mvc: jax.Array,
     return new_mvc, decided
 
 
-@partial(jax.jit, static_argnames=("max_iters", "threshold"))
+@partial(jax.jit, static_argnames=("max_iters", "threshold", "record"))
 def gallager_decode_packed(code: LDPCCode, received: jax.Array,
                            max_iters: int, threshold: int | None = None,
-                           schedule: jax.Array | None = None
+                           schedule: jax.Array | None = None,
+                           record: str = "total",
+                           tx_bits: jax.Array | None = None
                            ) -> GallagerResult:
     """Decode 32*W BSC trials; ``received`` is uint32[n, W] hard-bit planes
-    relative to the all-zero codeword (bit set = channel flipped).
+    -- relative to the all-zero codeword by default (bit set = channel
+    flipped), or the actual received word when ``tx_bits`` is given.
 
     ``threshold=None`` selects Gallager-A (t = dv-1); smaller t gives
     Gallager-B variants.  ``schedule`` (int32[>= max_iters], entries
     clamped into [1, dv-1]) overrides ``threshold`` with a per-iteration
     flip threshold -- Gallager's optimal switching rule, computed by
     ``utils.theory.gallager_b_schedule``.  Error counts are decision
-    errors vs the all-zero word after each iteration (index 0 = raw
-    channel errors).
+    errors vs the transmit after each iteration (index 0 = raw channel
+    errors).
+
+    ``tx_bits`` (uint32[n, W] packed transmitted codeword) switches to
+    nonzero-codeword error accounting: the decoder runs on the received
+    planes verbatim and ``decided``/``error_totals`` hold decision-vs-
+    transmit ERROR indicators/counts (the measured BSC channel-symmetry
+    check; soft-decoder convention, ops/soft_bp._soft_decode).
+
+    ``record="per_trial"`` additionally fills ``result.traj`` with the
+    int32[max_iters+1, B] per-trial error trajectories (~32x the
+    counting work; used by the exactly-expurgated driver).
     """
     if schedule is not None:
         schedule = jnp.asarray(schedule, jnp.int32)
@@ -199,37 +221,69 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
     if threshold is None:
         threshold = code.dv - 1  # Gallager-A
     channel = received
-    mvc0 = jnp.stack([jnp.take(received, code.chk_to_var[:, j], axis=0)
-                      for j in range(code.dc)])  # [dc, m, W] socket-major
-    count0 = total_popcount(received).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
-    decided0 = received
 
-    # Termination: message fixed point (Gallager decoding is not monotone,
-    # so unlike the BEC an unchanged *count* does not imply convergence --
-    # the messages themselves must be unchanged) or error-free decision.
-    def cond(carry):
-        _, _, _, it, count, changed = carry
-        return (it < max_iters) & (count > 0) & changed
-
-    def body(carry):
-        mvc, decided, errors, it, count, _ = carry
+    def step(mvc, it):
         t = threshold if schedule is None else schedule[it]
         new_mvc, decided = _gallager_iteration(code, channel, mvc, t)
-        new_count = total_popcount(decided).astype(jnp.int32)
         changed = total_popcount(new_mvc ^ mvc) > 0
         if schedule is not None:
             changed = changed | change_ahead[it]
-        errors = errors.at[it + 1].set(new_count)
-        return (new_mvc, decided, errors, it + 1, new_count, changed)
+        return new_mvc, decided, changed
 
-    mvc, decided, errors, it, count, _ = jax.lax.while_loop(
+    mvc0 = jnp.stack([jnp.take(received, code.chk_to_var[:, j], axis=0)
+                      for j in range(code.dc)])  # [dc, m, W] socket-major
+    return _gallager_loop(mvc0, received, step, max_iters, record, tx_bits)
+
+
+def _gallager_loop(mvc0, received, step, max_iters: int, record: str,
+                   tx_bits) -> GallagerResult:
+    """Shared flooding loop of the regular and irregular Gallager
+    decoders.  ``step(mvc, it) -> (new_mvc, decided, changed)``.
+
+    Termination: message fixed point (Gallager decoding is not monotone,
+    so unlike the BEC an unchanged *count* does not imply convergence --
+    the messages themselves must be unchanged) or error-free decision.
+    Error counts are vs the transmit (``tx_bits`` packed planes; None =
+    all-zero); ``record`` selects int32[it+1] totals or
+    int32[it+1, B] per-trial trajectories (see GallagerResult.traj).
+    """
+    if record not in ("total", "per_trial"):
+        raise ValueError(f"unknown record mode {record!r}")
+    as_err = (lambda d: d) if tx_bits is None else (lambda d: d ^ tx_bits)
+    if record == "total":
+        counts_of = lambda d: total_popcount(as_err(d)).astype(jnp.int32)
+    else:
+        counts_of = lambda d: per_trial_counts(as_err(d), axis=0)
+
+    c0 = counts_of(received)
+    total0 = jnp.sum(c0)
+    errors = jnp.zeros((max_iters + 1,) + c0.shape, jnp.int32).at[0].set(c0)
+
+    def cond(carry):
+        _, _, _, it, total, changed = carry
+        return (it < max_iters) & (total > 0) & changed
+
+    def body(carry):
+        mvc, decided, errors, it, _, _ = carry
+        new_mvc, decided, changed = step(mvc, it)
+        c = counts_of(decided)
+        errors = errors.at[it + 1].set(c)
+        return (new_mvc, decided, errors, it + 1, jnp.sum(c), changed)
+
+    mvc, decided, errors, it, _, _ = jax.lax.while_loop(
         cond, body,
-        (mvc0, decided0, errors, jnp.int32(0), count0, count0 > -1))
+        (mvc0, received, errors, jnp.int32(0), total0, total0 > -1))
 
+    final = counts_of(decided)
     tail = jnp.arange(max_iters + 1) > it
-    errors = jnp.where(tail, count, errors)
-    return GallagerResult(decided=decided, error_totals=errors, iterations=it)
+    errors = jnp.where(tail.reshape((-1,) + (1,) * final.ndim), final,
+                       errors)
+    if record == "per_trial":
+        return GallagerResult(decided=as_err(decided),
+                              error_totals=jnp.sum(errors, axis=1),
+                              iterations=it, traj=errors)
+    return GallagerResult(decided=as_err(decided), error_totals=errors,
+                          iterations=it)
 
 
 # ---------------------------------------------------------------------------
@@ -244,14 +298,18 @@ def gallager_decode_packed(code: LDPCCode, received: jax.Array,
 # t_d = d-1) and majority decision t = d//2 + 1.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_iters", "threshold"))
+@partial(jax.jit, static_argnames=("max_iters", "threshold", "record"))
 def gallager_decode_packed_irregular(code, received: jax.Array,
                                      max_iters: int,
-                                     threshold: int | None = None
+                                     threshold: int | None = None,
+                                     record: str = "total",
+                                     tx_bits: jax.Array | None = None
                                      ) -> GallagerResult:
     """Gallager-A/B for an :class:`..models.irregular.IrregularLDPCCode`.
 
-    ``received`` is uint32[n, W] flip planes vs the all-zero word;
+    ``received`` is uint32[n, W] hard-bit planes (flips vs the all-zero
+    word, or the received word itself with ``tx_bits`` -- same contract
+    as :func:`gallager_decode_packed`, including ``record``);
     ``threshold=None`` -> per-degree Gallager-A (flip iff all d-1 others
     disagree); an int b applies t_d = min(b, d-1) per degree (the same
     clamp ``utils.theory.irregular_gallager_b_density_evolution`` uses).
@@ -286,9 +344,6 @@ def gallager_decode_packed_irregular(code, received: jax.Array,
     # initial messages: the channel bit at every socket (phantom rows 0)
     mvc0 = jnp.stack([jnp.take(channel, code.chk_to_var[:, j], axis=0)
                       for j in range(dc_max)])   # [dc_max, m+1, W]
-    count0 = total_popcount(received).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
-    decided0 = received
 
     def per_degree_flip(others, rule):
         """Combine per-degree thresholds over the padded-socket counts."""
@@ -338,22 +393,8 @@ def gallager_decode_packed_irregular(code, received: jax.Array,
         decided = (channel ^ dec_flip)[:-1]
         return new_mvc, decided
 
-    def cond(carry):
-        _, _, _, it, count, changed = carry
-        return (it < max_iters) & (count > 0) & changed
-
-    def body(carry):
-        mvc, decided, errors, it, count, _ = carry
+    def step(mvc, it):
         new_mvc, decided = iteration(mvc)
-        new_count = total_popcount(decided).astype(jnp.int32)
-        changed = total_popcount(new_mvc ^ mvc) > 0
-        errors = errors.at[it + 1].set(new_count)
-        return (new_mvc, decided, errors, it + 1, new_count, changed)
+        return new_mvc, decided, total_popcount(new_mvc ^ mvc) > 0
 
-    mvc, decided, errors, it, count, _ = jax.lax.while_loop(
-        cond, body,
-        (mvc0, decided0, errors, jnp.int32(0), count0, count0 > -1))
-    tail = jnp.arange(max_iters + 1) > it
-    errors = jnp.where(tail, count, errors)
-    return GallagerResult(decided=decided, error_totals=errors,
-                          iterations=it)
+    return _gallager_loop(mvc0, received, step, max_iters, record, tx_bits)

@@ -77,6 +77,11 @@ class SoftBPResult:
     satisfied: jax.Array     # bool[B] all checks satisfied (decision-space)
     error_totals: jax.Array  # int32[max_iters+1] errors vs the transmit
     iterations: jax.Array
+    # int32[max_iters+1, B] per-trial error trajectories (only with
+    # record="per_trial"; same per-iteration indexing as error_totals,
+    # which then equals traj.sum(axis=1)).  Feeds the exactly-expurgated
+    # driver (parallel_simulator_expurgated.py:238 semantics).
+    traj: jax.Array | None = None
 
     @property
     def bit_errors(self) -> jax.Array:
@@ -229,7 +234,7 @@ def _syndrome_ok(code: LDPCCode, hard: jax.Array) -> jax.Array:
 
 def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
                  int8_scale, to_var_idx, chk_sock_mask=None,
-                 tx_bits=None) -> SoftBPResult:
+                 tx_bits=None, record="total") -> SoftBPResult:
     """Shared decode loop for the regular and irregular wrappers.
 
     ``code`` is any view exposing ``dv``/``dc``/``m``/``chk_to_var``;
@@ -265,13 +270,20 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
     # bitops.with_vma_of) -- the body outputs are llr-derived.
     mcv0 = with_vma_of(jnp.zeros((code.dc * code.m, llr.shape[1]),
                                  msg_dtype), llr0)
+    if record not in ("total", "per_trial"):
+        raise ValueError(f"unknown record mode {record!r}")
     if tx_bits is None:
         as_err = lambda decisions: decisions
     else:
         tx = jnp.asarray(tx_bits, bool)
         as_err = lambda decisions: decisions ^ tx
-    count0 = jnp.sum(as_err(llr < 0)).astype(jnp.int32)
-    errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
+    if record == "total":
+        counts_of = lambda dec: jnp.sum(as_err(dec)).astype(jnp.int32)
+    else:
+        counts_of = lambda dec: jnp.sum(as_err(dec),
+                                        axis=0).astype(jnp.int32)
+    c0 = counts_of(llr < 0)
+    errors = jnp.zeros((max_iters + 1,) + c0.shape, jnp.int32).at[0].set(c0)
 
     def cond(carry):
         _, _, it, all_sat = carry
@@ -284,8 +296,7 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
             quantised, chk_sock_mask)
         # post_prev / sat_prev describe the posterior *entering* this
         # round (after `it` check updates); record its error count.
-        errors = errors.at[it].set(
-            jnp.sum(as_err(post_prev < 0)).astype(jnp.int32))
+        errors = errors.at[it].set(counts_of(post_prev < 0))
         return (mcv, errors, it + 1, jnp.all(sat_prev))
 
     mcv, errors, it, _ = jax.lax.while_loop(
@@ -297,24 +308,31 @@ def _soft_decode(code, llr, max_iters, method, alpha, beta, msg_dtype,
     post = _posterior(code, llr0, mcv, to_var_idx, acc_dtype)
     decisions = post < 0
     err = as_err(decisions)
-    final_count = jnp.sum(err).astype(jnp.int32)
+    final = counts_of(decisions)
     tail = jnp.arange(max_iters + 1) >= it
-    errors = jnp.where(tail, final_count, errors)
+    errors = jnp.where(tail.reshape((-1,) + (1,) * final.ndim), final,
+                       errors)
     post_f32 = post.astype(jnp.float32)
     if quantised:
         post_f32 = post_f32 / int8_scale
+    if record == "per_trial":
+        return SoftBPResult(hard=err, posterior=post_f32,
+                            satisfied=_syndrome_ok(code, decisions),
+                            error_totals=jnp.sum(errors, axis=1),
+                            iterations=it, traj=errors)
     return SoftBPResult(hard=err, posterior=post_f32,
                         satisfied=_syndrome_ok(code, decisions),
                         error_totals=errors, iterations=it)
 
 
 @partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
-                                   "msg_dtype", "int8_scale"))
+                                   "msg_dtype", "int8_scale", "record"))
 def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
                    method: str = "sumproduct", alpha: float = 1.0,
                    beta: float = 0.0, msg_dtype=jnp.float32,
                    int8_scale: float = 4.0,
-                   tx_bits: jax.Array | None = None) -> SoftBPResult:
+                   tx_bits: jax.Array | None = None,
+                   record: str = "total") -> SoftBPResult:
     """Decode a batch of LLR words; ``llr`` is f32[n, B] channel LLRs
     (positive favours bit 0; ``AWGN.llr`` output).
 
@@ -332,12 +350,13 @@ def soft_bp_decode(code: LDPCCode, llr: jax.Array, max_iters: int,
     production min-sum (``method`` must be "minsum"; ``int8_scale`` LSBs
     per LLR unit, int16 accumulation, posterior returned de-quantised).
 
-    ``tx_bits`` (bool[n, B]) enables nonzero-codeword error accounting --
-    see :func:`_soft_decode`.
+    ``tx_bits`` (bool[n, B]) enables nonzero-codeword error accounting;
+    ``record="per_trial"`` fills ``result.traj`` with per-trial error
+    trajectories -- see :func:`_soft_decode`.
     """
     return _soft_decode(code, llr, max_iters, method, alpha, beta,
                         msg_dtype, int8_scale, _soft_routing(code),
-                        tx_bits=tx_bits)
+                        tx_bits=tx_bits, record=record)
 
 
 # ---------------------------------------------------------------------------
@@ -394,13 +413,13 @@ def _soft_routing_irregular(code):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "method", "alpha", "beta",
-                                   "msg_dtype", "int8_scale"))
+                                   "msg_dtype", "int8_scale", "record"))
 def soft_bp_decode_irregular(code, llr: jax.Array, max_iters: int,
                              method: str = "sumproduct", alpha: float = 1.0,
                              beta: float = 0.0, msg_dtype=jnp.float32,
                              int8_scale: float = 4.0,
-                             tx_bits: jax.Array | None = None
-                             ) -> SoftBPResult:
+                             tx_bits: jax.Array | None = None,
+                             record: str = "total") -> SoftBPResult:
     """:func:`soft_bp_decode` for an :class:`..models.irregular
     .IrregularLDPCCode`; identical semantics, [n, B] outputs."""
     llr = jnp.asarray(llr, jnp.float32)
@@ -415,8 +434,10 @@ def soft_bp_decode_irregular(code, llr: jax.Array, max_iters: int,
              jnp.zeros((1, llr.shape[1]), bool)], axis=0)
     res = _soft_decode(view, llr_pad, max_iters, method, alpha, beta,
                        msg_dtype, int8_scale, to_var_idx, chk_sock_mask,
-                       tx_bits=tx_bits)
+                       tx_bits=tx_bits, record=record)
+    # the phantom row never errs (pinned-positive posterior, tx 0), so
+    # error_totals/traj need no correction, only the planes are stripped
     return SoftBPResult(hard=res.hard[:-1], posterior=res.posterior[:-1],
                         satisfied=res.satisfied,
                         error_totals=res.error_totals,
-                        iterations=res.iterations)
+                        iterations=res.iterations, traj=res.traj)

@@ -151,21 +151,26 @@ def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
     )
 
 
-def _final_count_stats(error_totals, final, expurgation
+def _final_count_stats(error_totals, final, expurgation, traj=None
                        ) -> ChunkStats:
     """ChunkStats from per-trial final error counts, with the
     expurgation gate (trials with final <= s excluded from block/bit
     statistics but still counted, parallel_simulator_expurgated.py:238).
 
-    Unlike the BEC path's two-pass re-decode, soft/hard-decision decodes
-    are not monotone in a masked input, so ``error_totals`` stays the
-    RAW per-iteration series under expurgation (documented on the
-    config field); final-count statistics are exactly expurgated.
+    Soft/hard-decision decodes are not monotone in a masked input, so
+    the BEC path's two-pass re-decode trick is unavailable; instead the
+    expurgated chunks decode with ``record="per_trial"`` and pass the
+    int32[iterations+1, B] ``traj``, from which the per-iteration series
+    is summed over *included trials only* -- exactly the reference's
+    expurgated accumulation (parallel_simulator_expurgated.py:238-243).
     """
     if expurgation is None:
         include = jnp.ones_like(final, bool)
     else:
         include = final > expurgation
+        if traj is not None:
+            error_totals = jnp.sum(
+                jnp.where(include[None, :], traj, 0), axis=1)
     gated = final * include
     return ChunkStats(
         error_totals=error_totals,
@@ -188,9 +193,10 @@ def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
     decode = (gallager_decode_packed_irregular
               if isinstance(code, IrregularLDPCCode)
               else gallager_decode_packed)
-    res = decode(code, received, iterations, threshold=threshold)
+    res = decode(code, received, iterations, threshold=threshold,
+                 record="total" if expurgation is None else "per_trial")
     return _final_count_stats(res.error_totals, res.bit_errors,
-                              expurgation)
+                              expurgation, traj=res.traj)
 
 
 def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
@@ -229,9 +235,10 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
               if isinstance(code, IrregularLDPCCode) else soft_bp_decode)
     res = decode(code, llr, iterations, method=method,
                  alpha=alpha, beta=beta, msg_dtype=msg_dtype,
-                 tx_bits=tx_bits)
+                 tx_bits=tx_bits,
+                 record="total" if expurgation is None else "per_trial")
     return _final_count_stats(res.error_totals, res.bit_errors,
-                              expurgation)
+                              expurgation, traj=res.traj)
 
 
 def _fresh_codes_chunk(key: jax.Array, *, num_codes: int, sample_fn,

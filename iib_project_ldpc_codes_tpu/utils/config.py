@@ -85,11 +85,14 @@ class SimulationConfig:
     codes_per_chunk: int = 32     # fresh codes per chunk in ensemble mode
     # Exclude trials with <= s final errors from the statistics while
     # still counting them as trials (parallel_simulator_expurgated.py
-    # :238).  Supported by every batched decoder family: BEC bp (exact,
-    # incl. per-iteration totals via two-pass decode), Gallager, and the
-    # soft decoders (final-count statistics exactly expurgated;
-    # error_rate_per_iteration stays RAW for those two -- non-monotone
-    # decoders admit no masked re-decode).
+    # :238).  Supported by every batched decoder family and EXACT for
+    # all of them, including the per-iteration series: BEC bp via a
+    # two-pass masked re-decode, Gallager and the soft decoders via
+    # per-trial trajectory recording (record="per_trial") with the
+    # excluded trials' whole series dropped -- the reference's
+    # expurgated accumulation verbatim.  The traj recording costs ~32x
+    # the (cheap) counting work of a plain chunk; only expurgated runs
+    # pay it.
     expurgation: Optional[int] = None
 
     # IO
