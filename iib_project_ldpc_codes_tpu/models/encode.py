@@ -99,23 +99,29 @@ def encoder_planes(enc: Encoder):
             jnp.asarray(enc.pivot_cols, jnp.int32))
 
 
-def encode_packed(planes, info: "jax.Array") -> "jax.Array":
+def encode_packed(planes, info: "jax.Array", n: int | None = None
+                  ) -> "jax.Array":
     """Encode 32*W codewords on device from packed information planes.
 
-    ``planes`` from :func:`encoder_planes`; ``info`` is uint32[k_eff, W]
-    (bit lane b of word w = information word of trial 32w+b).  Returns
+    ``planes`` from :func:`encoder_planes` (or the padded batch form,
+    :func:`encoder_planes_padded`); ``info`` is uint32[k_eff, W] (bit
+    lane b of word w = information word of trial 32w+b).  Returns
     uint32[n, W] packed codewords.  GF(2) parity accumulation is a
     ``lax.scan`` over info rows (memory-light: [rank, W] carry), jittable
     and vmap-able -- the device realisation of the reference's missing
     ``coding_matrix`` encode (simulator.py:61-64) for nonzero-codeword
     Monte Carlo (SimulationConfig.transmit="random").
+
+    ``n`` must be given for padded planes (sentinel column indices == n
+    are dropped by the scatters); the unpadded default infers it.
     """
     import jax
     import jax.numpy as jnp
 
     mask, free, pivots = planes
     rank, k_eff = mask.shape
-    n = len(free) + len(pivots)
+    if n is None:
+        n = len(free) + len(pivots)
     info = jnp.asarray(info, jnp.uint32)
     w = info.shape[1]
 
@@ -127,9 +133,36 @@ def encode_packed(planes, info: "jax.Array") -> "jax.Array":
     parity, _ = jax.lax.scan(step, jnp.zeros((rank, w), jnp.uint32),
                              (mask.T, info))
     out = jnp.zeros((n, w), jnp.uint32)
-    out = out.at[free].set(info)
-    out = out.at[pivots].set(parity)
+    out = out.at[free].set(info, mode="drop")
+    out = out.at[pivots].set(parity, mode="drop")
     return out
+
+
+def encoder_planes_padded(encoders, n: int):
+    """Stacked device planes for a *batch* of encoders (one per fresh
+    ensemble code): masks/index vectors are padded to common static
+    widths so the batch jits and vmaps (ragged ``rank``/``k_eff`` vary
+    by the sampled H's rank deficiency).  Padded index entries are the
+    sentinel ``n`` -- dropped by :func:`encode_packed`'s out-of-bounds
+    scatters; padded mask columns are zero (the extra info bits encode
+    nothing and land nowhere).
+
+    Returns (mask bool[C, rank_max, k_max], free int32[C, k_max],
+    pivots int32[C, rank_max]).
+    """
+    import jax.numpy as jnp
+
+    rank_max = max(e.rank for e in encoders)
+    k_max = max(e.k_eff for e in encoders)
+    masks = np.zeros((len(encoders), rank_max, k_max), bool)
+    frees = np.full((len(encoders), k_max), n, np.int32)
+    pivs = np.full((len(encoders), rank_max), n, np.int32)
+    for i, enc in enumerate(encoders):
+        m, f, p = encoder_planes(enc)
+        masks[i, :enc.rank, :enc.k_eff] = np.asarray(m)
+        frees[i, :enc.k_eff] = np.asarray(f)
+        pivs[i, :enc.rank] = np.asarray(p)
+    return jnp.asarray(masks), jnp.asarray(frees), jnp.asarray(pivs)
 
 
 def make_encoder(code: Optional[LDPCCode] = None,

@@ -95,7 +95,7 @@ def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
         erased = bernoulli_packed(k_noise, erasure_prob, (n, words))
         k_eff = enc_planes[0].shape[1]
         info = bernoulli_packed(k_info, 0.5, (k_eff, words))
-        tx = encode_packed(enc_planes, info)
+        tx = encode_packed(enc_planes, info, n=n)
         decode = (bp_decode_packed_irregular
                   if isinstance(code, IrregularLDPCCode)
                   else bp_decode_packed)
@@ -183,18 +183,35 @@ def _final_count_stats(error_totals, final, expurgation, traj=None
 
 def _gallager_chunk(code: LDPCCode, key: jax.Array, *, n: int, words: int,
                     iterations: int, crossover_prob,
-                    threshold=None, expurgation=None) -> ChunkStats:
+                    threshold=None, expurgation=None,
+                    enc_planes=None) -> ChunkStats:
     """BSC hard-decision chunk: packed flip mask -> Gallager-A/B decode
-    (regular LDPCCode or IrregularLDPCCode)."""
+    (regular LDPCCode or IrregularLDPCCode).  ``enc_planes`` switches to
+    random-codeword transmit (received = tx ^ flips, errors vs tx --
+    the measured BSC channel-symmetry check; the Gallager update is
+    XOR-affine in a codeword shift, so the equivalence is bit-exact,
+    tests/test_gallager_soft.py::test_gallager_codeword_symmetry)."""
     from ..ops.gallager import (gallager_decode_packed,
                                 gallager_decode_packed_irregular)
 
-    received = bernoulli_packed(key, crossover_prob, (n, words))
+    tx = None
+    if enc_planes is None:
+        received = bernoulli_packed(key, crossover_prob, (n, words))
+    else:
+        from ..models.encode import encode_packed
+
+        k_noise, k_info = jax.random.split(key)
+        flips = bernoulli_packed(k_noise, crossover_prob, (n, words))
+        info = bernoulli_packed(k_info, 0.5,
+                                (enc_planes[0].shape[1], words))
+        tx = encode_packed(enc_planes, info, n=n)
+        received = tx ^ flips
     decode = (gallager_decode_packed_irregular
               if isinstance(code, IrregularLDPCCode)
               else gallager_decode_packed)
     res = decode(code, received, iterations, threshold=threshold,
-                 record="total" if expurgation is None else "per_trial")
+                 record="total" if expurgation is None else "per_trial",
+                 tx_bits=tx)
     return _final_count_stats(res.error_totals, res.bit_errors,
                               expurgation, traj=res.traj)
 
@@ -223,7 +240,8 @@ def _soft_chunk(code: LDPCCode, key: jax.Array, *, n: int, batch: int,
         k_noise, k_info = jax.random.split(key)
         k_eff = enc_planes[0].shape[1]
         info = bernoulli_packed(k_info, 0.5, (k_eff, batch // 32))
-        tx_bits = unpack_bits(encode_packed(enc_planes, info))  # bool[n, B]
+        tx_bits = unpack_bits(encode_packed(enc_planes, info,
+                                            n=n))  # bool[n, B]
         tx = tx_bits.astype(jnp.int32)
     if channel == "AWGN":
         ch = AWGN(channel_param)
@@ -258,7 +276,12 @@ def _fresh_codes_chunk(key: jax.Array, *, num_codes: int, sample_fn,
     def one(code_key, noise_key):
         return decode_one(sample_fn(code_key), noise_key)
 
-    stats = jax.vmap(one)(code_keys, noise_keys)
+    return _reduce_code_stats(jax.vmap(one)(code_keys, noise_keys))
+
+
+def _reduce_code_stats(stats: ChunkStats) -> ChunkStats:
+    """Sum vmapped per-code ChunkStats; records the per-code cluster
+    second moment for the clustered CI (utils.stats.ber_ci)."""
     return ChunkStats(
         error_totals=jnp.sum(stats.error_totals, axis=0),
         block_errors=jnp.sum(stats.block_errors),
@@ -268,6 +291,26 @@ def _fresh_codes_chunk(key: jax.Array, *, num_codes: int, sample_fn,
         code_bit_errors_sq=jnp.sum(
             jnp.square(stats.bit_errors.astype(jnp.float32))),
     )
+
+
+def _given_codes_chunk(key: jax.Array, *, codes, planes,
+                       decode_one) -> ChunkStats:
+    """Ensemble chunk over HOST-provided codes (+ padded encoder planes).
+
+    The random-transmit ensemble path: fresh codes still come one per
+    32-trial lane group and are derived from this chunk's key -- but the
+    systematic-encoder derivation is host-bound GF(2) elimination, so
+    ``make_chunk_fn`` samples the codes on the host with the *same* key
+    split as :func:`_fresh_codes_chunk` (kc -> per-code keys; the codes
+    of a given (seed, chunk) are identical to the zero-transmit run's)
+    and ships the batched code pytree + padded planes as traced args.
+    ``decode_one(code, planes_i, noise_key) -> ChunkStats``.
+    """
+    _, kx = jax.random.split(key)
+    num_codes = planes[0].shape[0]
+    noise_keys = jax.random.split(kx, num_codes)
+    stats = jax.vmap(decode_one)(codes, planes, noise_keys)
+    return _reduce_code_stats(stats)
 
 
 def _ensemble_layout(cfg: SimulationConfig, n_dev: int):
@@ -326,7 +369,8 @@ def _build_chunk_jit(cfg: SimulationConfig, mesh, n_dev: int):
                                        iterations=cfg.iterations,
                                        crossover_prob=channel_param,
                                        threshold=cfg.gallager_threshold,
-                                       expurgation=cfg.expurgation)
+                                       expurgation=cfg.expurgation,
+                                       enc_planes=enc_planes)
             return _soft_chunk(c, key, n=cfg.n, batch=sub_words * 32,
                                iterations=cfg.iterations, channel=cfg.channel,
                                channel_param=channel_param,
@@ -359,10 +403,20 @@ def _build_chunk_jit(cfg: SimulationConfig, mesh, n_dev: int):
                                          cfg.sampler)
                 return code_from_checks(chk, n=cfg.n, dv=cfg.dv, dc=cfg.dc)
 
-        def local_chunk(key, channel_param, code, enc_planes):
-            return _fresh_codes_chunk(
-                key, num_codes=num_codes, sample_fn=sample_fn,
-                decode_one=make_decode_one(wpc, channel_param, enc_planes))
+        if cfg.transmit == "random":
+            # host-provided codes + padded per-code encoder planes
+            # (see _given_codes_chunk / make_chunk_fn)
+            def local_chunk(key, channel_param, codes, enc_planes):
+                return _given_codes_chunk(
+                    key, codes=codes, planes=enc_planes,
+                    decode_one=lambda c, p, nk: make_decode_one(
+                        wpc, channel_param, p)(c, nk))
+        else:
+            def local_chunk(key, channel_param, code, enc_planes):
+                return _fresh_codes_chunk(
+                    key, num_codes=num_codes, sample_fn=sample_fn,
+                    decode_one=make_decode_one(wpc, channel_param,
+                                               enc_planes))
 
     if mesh is None:
         return jax.jit(local_chunk)
@@ -409,20 +463,15 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         raise ValueError("fixed code_mode requires a code")
 
     enc_planes = None
-    if cfg.transmit == "random":
-        # __post_init__ guarantees fixed-code mode; derive the systematic
-        # encoder once on the host, ship the GF(2) map as traced arrays
+    if cfg.transmit == "random" and cfg.code_mode == "fixed":
+        # derive the systematic encoder once on the host, ship the GF(2)
+        # map as traced arrays
         from ..models.encode import encoder_planes, make_encoder
+        from ..ops.ml import _dense_of
 
         if code is None:
             raise ValueError("transmit='random' requires a fixed code")
-        if isinstance(code, IrregularLDPCCode):
-            from ..models.irregular import dense_parity_check_irregular
-
-            enc = make_encoder(h=dense_parity_check_irregular(code))
-        else:
-            enc = make_encoder(code)
-        enc_planes = encoder_planes(enc)
+        enc_planes = encoder_planes(make_encoder(h=_dense_of(code)))
 
     static_key = _chunk_static_key(cfg, mesh, n_dev)
     jitted = _CHUNK_CACHE.get(static_key)
@@ -433,6 +482,45 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         _CHUNK_CACHE[static_key] = jitted
 
     channel_param = jnp.float32(cfg.channel_param)
+
+    if cfg.transmit == "random" and cfg.code_mode == "ensemble":
+        # Fresh codes need fresh systematic encoders -- host-bound GF(2)
+        # eliminations -- so this validation-scale mode samples the
+        # chunk's codes on the host with the SAME key split as
+        # _fresh_codes_chunk (identical codes to the zero-transmit run
+        # at equal (seed, chunk)) and ships the batched pytree + padded
+        # planes as traced args.  Single-device: per-device host
+        # sampling under shard_map is not available.
+        if mesh is not None:
+            raise ValueError(
+                "transmit='random' ensemble mode runs single-device "
+                "(per-chunk host-side encoder derivation); drop the mesh")
+        from ..models.encode import encoder_planes_padded, make_encoder
+        from ..ops.ml import _dense_of
+
+        num_codes, _ = _ensemble_layout(cfg, 1)
+        if cfg.irregular:
+            from ..models.irregular import IrregularEnsembleSpec
+
+            spec = IrregularEnsembleSpec.from_lam_rho(cfg.n, cfg.lam,
+                                                      cfg.rho)
+            sample_host = lambda k: spec.sample(k, cfg.sampler)
+        else:
+            sample_host = lambda k: code_from_checks(
+                sample_check_table(k, cfg.n, cfg.dv, cfg.dc, cfg.sampler),
+                n=cfg.n, dv=cfg.dv, dc=cfg.dc)
+
+        def fn(key):
+            kc, _ = jax.random.split(key)
+            codes = [sample_host(k)
+                     for k in jax.random.split(kc, num_codes)]
+            encs = [make_encoder(h=_dense_of(c)) for c in codes]
+            planes = encoder_planes_padded(encs, cfg.n)
+            batched = jax.tree.map(lambda *xs: jnp.stack(xs), *codes)
+            return jitted(key, channel_param, batched, planes)
+
+        return fn
+
     fixed_code = code if cfg.code_mode == "fixed" else None
     return lambda key: jitted(key, channel_param, fixed_code, enc_planes)
 

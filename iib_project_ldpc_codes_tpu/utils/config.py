@@ -60,8 +60,11 @@ class SimulationConfig:
     # vestigial encode, simulator.py:61-64, made load-bearing), transmit
     # them, and count errors against the true codeword.  Measures the
     # all-zero/channel-symmetry equivalence instead of assuming it.
-    # Validation-scale feature: the encoder map is a dense O(n^2) host
-    # array (models.encode.encoder_planes guards at ~n = 3e4).
+    # Supported for BEC+bp, BSC Gallager, and the soft decoders, in
+    # fixed-code AND ensemble mode (ensemble: per-chunk host-side
+    # encoder derivation, single-device only).  Validation-scale
+    # feature: the encoder map is a dense O(n^2) host array
+    # (models.encode.encoder_planes guards at ~n = 3e4).
     transmit: str = "zero"
 
     # Stopping rules (parallel_simulator.py:198)
@@ -150,15 +153,13 @@ class SimulationConfig:
         if self.transmit not in ("zero", "random"):
             raise ValueError(f"unknown transmit {self.transmit!r}")
         if self.transmit == "random":
-            ok = {("BEC", "bp"), ("BSC", "sumproduct"), ("BSC", "minsum"),
+            ok = {("BEC", "bp"), ("BSC", "gallager"),
+                  ("BSC", "sumproduct"), ("BSC", "minsum"),
                   ("AWGN", "sumproduct"), ("AWGN", "minsum")}
             if (self.channel, self.decoder) not in ok:
                 raise ValueError(
-                    "transmit='random' supports BEC+bp and the soft "
-                    f"decoders; got {(self.channel, self.decoder)}")
-            if self.code_mode != "fixed":
-                raise ValueError("transmit='random' requires a fixed code "
-                                 "(one encoder derivation per run)")
+                    "transmit='random' supports BEC+bp, Gallager, and "
+                    f"the soft decoders; got {(self.channel, self.decoder)}")
             if self.edge_sharded:
                 raise ValueError("transmit='random' not supported with "
                                  "edge_sharded")
