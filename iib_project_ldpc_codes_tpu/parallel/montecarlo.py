@@ -603,6 +603,13 @@ def _run_ml_or_both(cfg: SimulationConfig, code: Optional[LDPCCode]
     ONE native C call per chunk (native/gf2.c ml_decode_trials) -- the
     batched replacement for the reference's per-trial galois loop
     (parallel_simulator.py:60-129).
+
+    Single-process by design (the blessed way to scale it is the
+    reference's own: independent array jobs over seeds, reduced exactly
+    by ``utils.combine.combine_results`` -- every counter this driver
+    emits is a raw count, so the merge is integer addition; see
+    README "Scaling the host-path drivers" and
+    tests/test_montecarlo_ml.py::test_ml_array_job_combine_recipe).
     """
     from ..models.ensemble import sample_codes
     from ..ops.bitops import pack_bits

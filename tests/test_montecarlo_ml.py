@@ -67,3 +67,29 @@ def test_peeling_ensemble_mode():
     res = run_simulation(cfg)
     assert res.num_trials == 256
     assert 0 <= res.block_error_rate <= 1
+
+
+def test_ml_array_job_combine_recipe():
+    """The blessed multi-process recipe for the host-path drivers
+    (montecarlo._run_ml_or_both is single-process by design): run
+    independent seeds as separate jobs and reduce with combine_results.
+    Counts must merge integer-exactly and rates re-derive from the
+    merged counts."""
+    from iib_project_ldpc_codes_tpu.utils.combine import combine_results
+
+    code = sample_code(jax.random.key(1), 48, 3, 6)
+    shards = [run_simulation(cfg_for("both", seed=s), code=code)
+              for s in (21, 22, 23)]
+    merged = combine_results(shards)
+    assert merged.num_trials == sum(r.num_trials for r in shards)
+    assert merged.optimal_block_errors == sum(
+        r.optimal_block_errors for r in shards)
+    assert merged.optimal_bit_errors == sum(
+        r.optimal_bit_errors for r in shards)
+    assert merged.block_errors == sum(r.block_errors for r in shards)
+    want = np.sum([r.error_counts_per_iteration for r in shards], axis=0)
+    np.testing.assert_array_equal(merged.error_counts_per_iteration, want)
+    assert merged.bit_error_rate == pytest.approx(
+        merged.bit_errors / (48 * merged.num_trials))
+    # shards genuinely differ (different seeds -> different noise)
+    assert len({r.bit_errors for r in shards}) > 1
