@@ -84,6 +84,15 @@ def encoder_planes(enc: Encoder):
     """
     import jax.numpy as jnp
 
+    mask = _unpack_parity_mask(enc)
+    return (jnp.asarray(mask), jnp.asarray(enc.free_cols, jnp.int32),
+            jnp.asarray(enc.pivot_cols, jnp.int32))
+
+
+def _unpack_parity_mask(enc: Encoder) -> np.ndarray:
+    """Host-side dense bool[rank, k_eff] of the packed parity map,
+    shared by the single-code and padded-batch plane builders (no
+    device round-trip)."""
     rank, k_eff = enc.rank, enc.k_eff
     if rank * k_eff > 2 ** 28:
         raise ValueError(
@@ -95,8 +104,7 @@ def encoder_planes(enc: Encoder):
     for j in range(k_eff):
         mask[:, j] = (enc.parity_map[:, j // _WORD]
                       >> np.uint64(j % _WORD)) & np.uint64(1) != 0
-    return (jnp.asarray(mask), jnp.asarray(enc.free_cols, jnp.int32),
-            jnp.asarray(enc.pivot_cols, jnp.int32))
+    return mask
 
 
 def encode_packed(planes, info: "jax.Array", n: int | None = None
@@ -158,10 +166,12 @@ def encoder_planes_padded(encoders, n: int):
     frees = np.full((len(encoders), k_max), n, np.int32)
     pivs = np.full((len(encoders), rank_max), n, np.int32)
     for i, enc in enumerate(encoders):
-        m, f, p = encoder_planes(enc)
-        masks[i, :enc.rank, :enc.k_eff] = np.asarray(m)
-        frees[i, :enc.k_eff] = np.asarray(f)
-        pivs[i, :enc.rank] = np.asarray(p)
+        # build host-side and upload ONCE (going through encoder_planes
+        # here would bounce each O(n^2/4) mask device->host through the
+        # ~1 ms/call tunnel before re-uploading the stack)
+        masks[i, :enc.rank, :enc.k_eff] = _unpack_parity_mask(enc)
+        frees[i, :enc.k_eff] = enc.free_cols
+        pivs[i, :enc.rank] = enc.pivot_cols
     return jnp.asarray(masks), jnp.asarray(frees), jnp.asarray(pivs)
 
 

@@ -91,6 +91,12 @@ def _bp_chunk(code, key: jax.Array, *, n: int, words: int,
         from ..models.encode import encode_packed
         from ..ops.bitops import per_trial_counts
 
+        if expurgation is not None:
+            # loud, not silent: this branch returns ungated statistics
+            # (the config guard forbids the combination; keep the trap
+            # armed for direct callers)
+            raise NotImplementedError(
+                "random-transmit BEC chunks do not implement expurgation")
         k_noise, k_info = jax.random.split(key)
         erased = bernoulli_packed(k_noise, erasure_prob, (n, words))
         k_eff = enc_planes[0].shape[1]

@@ -31,6 +31,12 @@ def merge_key(result: SimulationResult) -> Tuple:
     vals = []
     for k in MERGE_KEYS:
         v = getattr(cfg, k)
+        if k == "iterations" and cfg.decoder == "ml":
+            # the ML decoder has no iteration budget (no per-iteration
+            # series either); reference optimal-only CSVs carry no 'it='
+            # segment, so pinning it would block merging them with
+            # native ml shards over a meaningless field
+            v = None
         vals.append(tuple(v) if isinstance(v, list) else v)
     return tuple(vals)
 

@@ -200,7 +200,13 @@ def result_from_legacy_csv(path: str) -> SimulationResult:
         iterations=int(params.get("it", max(len(curve) - 1, 0))),
         num_tests=num,
         code_mode="fixed" if "number" in params else "ensemble",
-        code_number=int(params.get("number", 1)))
+        code_number=int(params.get("number", 1)),
+        # the reference's expurgated writer prefixes the filename with
+        # 'regular_code_expurgated=<s>' (parallel_simulator_expurgated
+        # .py:262-265); 'expurgation' is a merge key, so dropping it
+        # would let expurgated and raw shards silently combine
+        expurgation=(int(params["expurgated"])
+                     if "expurgated" in params else None))
     return SimulationResult(
         config=cfg, num_trials=num,
         error_rate_per_iteration=curve,

@@ -178,3 +178,59 @@ def test_combine_reference_shards_exact(tmp_path):
     # not the shard-rate average
     assert combined.error_rate_per_iteration == pytest.approx(
         [c / (total_num * N) for c in want_counts])
+
+
+def test_expurgated_reference_filename_ingest(tmp_path):
+    """The reference's expurgated writer prefixes
+    'regular_code_expurgated=<s>' (parallel_simulator_expurgated.py
+    :262-265); the ingester must carry it into cfg.expurgation --
+    'expurgation' is a merge key, so dropping it would let expurgated
+    and raw shards silently combine."""
+    rng = np.random.default_rng(3)
+    num = 5_000
+    s = _shard(rng, num)
+    name = ('regular_code_expurgated=2' +
+            _reference_filename(num, '01-01-2022-14-00-00')[len(
+                'regular_code'):])
+    write_message_passing_file(str(tmp_path) + '/', name, s["avg"],
+                               s["block_rate"], s["bit_rate"])
+    r = result_from_legacy_csv(str(tmp_path / name))
+    assert r.config.expurgation == 2
+    raw_name = _reference_filename(num, '01-01-2022-14-00-01')
+    write_message_passing_file(str(tmp_path) + '/', raw_name, s["avg"],
+                               s["block_rate"], s["bit_rate"])
+    raw = result_from_legacy_csv(str(tmp_path / raw_name))
+    with pytest.raises(ValueError, match="mismatched"):
+        combine_results([r, raw])
+
+
+def test_optimal_only_csv_merges_with_native_ml_shard(tmp_path):
+    """Reference optimal-only filenames carry no 'it=' segment
+    (parallel_simulator.py:256 adds it only for message passing);
+    iterations is meaningless for the ML decoder and must not block the
+    merge with a native decoder='ml' shard."""
+    import jax
+
+    from iib_project_ldpc_codes_tpu.models import sample_code
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.42, n=48, dv=3,
+                           dc=6, decoder="ml", iterations=50,
+                           num_tests=64, batch=64,
+                           max_block_errors=10 ** 9, seed=3,
+                           code_mode="ensemble")
+    native = run_simulation(cfg)
+
+    num = 2_000
+    name = ('regular_code_BEC=0.42_n=48_k=24_dv=3_dc=6'
+            f'_num={num}_time=01-01-2022-15-00-00.csv')
+    write_optimal_file(str(tmp_path) + '/', name, 11 / num,
+                       254 / (num * 48))
+    ingested = result_from_legacy_csv(str(tmp_path / name))
+    assert ingested.config.iterations == 0   # no 'it=' and no curve
+    merged = combine_results([native, ingested])
+    assert merged.num_trials == native.num_trials + num
+    assert merged.optimal_block_errors == \
+        native.optimal_block_errors + 11
+    assert merged.optimal_bit_errors == native.optimal_bit_errors + 254
