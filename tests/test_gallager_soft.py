@@ -645,3 +645,33 @@ def test_gallager_codeword_symmetry_bit_exact():
                                   np.asarray(base.error_totals))
     np.testing.assert_array_equal(np.asarray(shifted.bit_errors),
                                   np.asarray(base.bit_errors))
+
+
+def test_soft_irregular_int8_chunk_exact_expurgation():
+    """The remaining chunk dispatch: irregular code + int8 quantised
+    min-sum + expurgation, gated against the host-side per-trial filter
+    (completes the record='per_trial' coverage matrix)."""
+    from iib_project_ldpc_codes_tpu.models.irregular import (
+        IrregularEnsembleSpec)
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import soft_bp_decode_irregular
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import _soft_chunk
+
+    n, iters, B, s = 120, 15, 128, 1
+    spec = IrregularEnsembleSpec.from_lam_rho(
+        n, [0, 1 / 3, 0, 2 / 3], [0, 0, 0, 0, 0, 1.0])
+    code = spec.sample(jax.random.key(20), "repair")
+    key = jax.random.key(21)
+    stats = _soft_chunk(code, key, n=n, batch=B, iterations=iters,
+                        channel="AWGN", channel_param=1.0,
+                        method="minsum", msg_dtype=jnp.int8,
+                        expurgation=s)
+    ch = AWGN(1.0)
+    llr = ch.llr(ch.transmit(key, jnp.zeros((n, B), jnp.int32)))
+    res = soft_bp_decode_irregular(code, llr, iters, method="minsum",
+                                   msg_dtype=jnp.int8, record="per_trial")
+    traj = np.asarray(res.traj)
+    include = traj[-1] > s
+    assert int(stats.excluded) == int((~include).sum())
+    assert int(stats.bit_errors) == int(traj[-1][include].sum())
+    np.testing.assert_array_equal(np.asarray(stats.error_totals),
+                                  traj[:, include].sum(axis=1))
