@@ -245,11 +245,13 @@ def bp_decode_packed(code: LDPCCode, erased: jax.Array, tx_bits: jax.Array,
     """
     known = ~erased
     val = tx_bits & known
-    total_bits = code.n * erased.shape[1] * 32
+    # count the erased bits directly -- `n*W*32 - popcount(known)` would
+    # overflow the int32 operand once the batch exceeds 2^31 total bits
+    # (hit at n=1e5 x 768 words), while the erased count itself is small
     (val, known), errors, it = _run_to_fixed_point(
         (val, known),
         lambda s: _packed_iteration(code, *s),
-        lambda s: (total_bits - total_popcount(s[1])).astype(jnp.int32),
+        lambda s: total_popcount(~s[1]).astype(jnp.int32),
         max_iters)
     return PackedBPResult(val=val, known=known, error_totals=errors,
                           iterations=it)
@@ -276,11 +278,10 @@ def bp_decode_packed_allzero(code: LDPCCode, erased: jax.Array,
     roughly half the per-iteration HBM traffic; ``val`` in the result is
     the all-zero plane.
     """
-    total_bits = code.n * erased.shape[1] * 32
     known, errors, it = _run_to_fixed_point(
         ~erased,
         lambda kn: _packed_iteration_allzero(code, kn),
-        lambda kn: (total_bits - total_popcount(kn)).astype(jnp.int32),
+        lambda kn: total_popcount(~kn).astype(jnp.int32),
         max_iters)
     return PackedBPResult(val=jnp.zeros_like(known), known=known,
                           error_totals=errors, iterations=it)

@@ -139,7 +139,9 @@ def _edge_sharded_core(chk_rows: jax.Array, var_to_chk: jax.Array,
     def per_device(chk_local, var_to_chk, erased_rep):
         chk_offset = jax.lax.axis_index(axis).astype(jnp.int32) * m_local
         known = ~erased_rep
-        count0 = (n * W * 32 - total_popcount(known)).astype(jnp.int32)
+        # popcount the erased bits directly (the n*W*32 constant
+        # overflows the int32 operand past 2^31 total batch bits)
+        count0 = total_popcount(~known).astype(jnp.int32)
         errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
         def cond(carry):
@@ -152,7 +154,7 @@ def _edge_sharded_core(chk_rows: jax.Array, var_to_chk: jax.Array,
                                 known, dc, dv)
             cand = _or_all_reduce(cand, axis)
             known = known | cand
-            new_count = (n * W * 32 - total_popcount(known)).astype(jnp.int32)
+            new_count = total_popcount(~known).astype(jnp.int32)
             errors = errors.at[it + 1].set(new_count)
             return (known, errors, it + 1, new_count, new_count != count)
 

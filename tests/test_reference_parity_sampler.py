@@ -32,7 +32,8 @@ from collections import Counter
 import jax
 import numpy as np
 import pytest
-from scipy.stats import chi2 as chi2_dist
+
+chi2_dist = pytest.importorskip("scipy.stats").chi2
 
 from iib_project_ldpc_codes_tpu.models.ensemble import sample_check_table
 
