@@ -51,10 +51,11 @@ def main():
     # constant-total-bits points (words = 7.68e6/n) PLUS wide-batch
     # points at large n that hold words near the lane-efficiency knee
     # measured at n=1e4 -- disentangling the n-effect from the words
-    # (batch-width) effect.  n=1e6 is capped at words=192 (~768 MB/
-    # plane; wider risks HBM pressure with gather temporaries).
+    # (batch-width) effect.  Widths are capped by the exact-int32
+    # counter contract (n * words * 32 < 2^31, ops/erasure_bp
+    # ._check_packed_batch_bits): 512 at n=1e5, 48 at n=1e6.
     points = [(1_000, 7_680), (10_000, 768), (100_000, 77),
-              (100_000, 768), (1_000_000, 8), (1_000_000, 192)]
+              (100_000, 512), (1_000_000, 8), (1_000_000, 48)]
     for n, words in points:
         key = f"{n}_{words}"
         legacy = str(n)

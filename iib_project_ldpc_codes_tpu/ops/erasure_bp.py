@@ -45,6 +45,24 @@ from .bitops import per_trial_counts, total_popcount
 from .channels import ERASURE
 
 
+def _check_packed_batch_bits(n: int, words: int) -> None:
+    """Loud trace-time guard: the packed decoders' counters (error
+    totals, fixed-point detection) are exact int32, so a batch whose
+    total bit count reaches 2^31 is out of contract -- a worst-case
+    erasure count would wrap and the result arrays could not hold the
+    true totals (observed failure mode before this guard: the while
+    loop saw a negative total and exited at iteration 0).  Split such
+    workloads into chunks; the Monte Carlo engine accumulates chunk
+    counters into int64 on the host.
+    """
+    total = n * words * 32
+    if total >= 2 ** 31:
+        raise ValueError(
+            f"packed batch of {total} total bits (n={n}, words={words}) "
+            "exceeds the exact-int32 counter range (2^31); split the "
+            "batch into chunks")
+
+
 def _run_to_fixed_point(state, step, counts_of, max_iters: int):
     """Shared while_loop scaffold of every BEC BP decode in this module.
 
@@ -243,6 +261,7 @@ def bp_decode_packed(code: LDPCCode, erased: jax.Array, tx_bits: jax.Array,
         zeros, the reference default, parallel_simulator.py:222).
       max_iters: BP iteration budget (50-200 in the reference envelope).
     """
+    _check_packed_batch_bits(code.n, erased.shape[1])
     known = ~erased
     val = tx_bits & known
     # count the erased bits directly -- `n*W*32 - popcount(known)` would
@@ -278,6 +297,7 @@ def bp_decode_packed_allzero(code: LDPCCode, erased: jax.Array,
     roughly half the per-iteration HBM traffic; ``val`` in the result is
     the all-zero plane.
     """
+    _check_packed_batch_bits(code.n, erased.shape[1])
     known, errors, it = _run_to_fixed_point(
         ~erased,
         lambda kn: _packed_iteration_allzero(code, kn),
@@ -301,6 +321,7 @@ def bp_decode_packed_traj(code: LDPCCode, erased: jax.Array,
     trajectories based on the final count
     (parallel_simulator_expurgated.py:238-243).
     """
+    _check_packed_batch_bits(code.n, erased.shape[1])
     known = ~erased
     val = tx_bits & known
     (val, known), traj, it = _run_to_fixed_point(

@@ -134,6 +134,9 @@ def _edge_sharded_core(chk_rows: jax.Array, var_to_chk: jax.Array,
         raise ValueError(f"mesh size {n_dev} must divide the (padded) "
                          f"check row count {m_rows}")
     n, W = erased.shape
+    from ..ops.erasure_bp import _check_packed_batch_bits
+
+    _check_packed_batch_bits(n, W)
     m_local = m_rows // n_dev
 
     def per_device(chk_local, var_to_chk, erased_rep):

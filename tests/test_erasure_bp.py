@@ -322,3 +322,18 @@ def test_packed_nonzero_codewords_match_naive():
         assert (lane_known.astype(bool) == (dec != ERASURE)).all()
         resolved = dec != ERASURE
         assert (lane_val[resolved] == dec[resolved]).all()
+
+
+def test_packed_batch_int32_guard():
+    """Batches at/after 2^31 total bits must refuse loudly at trace
+    time (the int32 counter contract), not silently wrap -- the
+    observed pre-guard failure mode was a while_loop that saw a
+    negative total and exited at iteration 0."""
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        _check_packed_batch_bits)
+
+    _check_packed_batch_bits(100_000, 512)   # 1.64e9 bits: in contract
+    with pytest.raises(ValueError, match="2\\^31"):
+        _check_packed_batch_bits(100_000, 768)
+    with pytest.raises(ValueError, match="split"):
+        _check_packed_batch_bits(1_000_000, 192)
