@@ -468,6 +468,24 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
     if cfg.code_mode == "fixed" and code is None:
         raise ValueError("fixed code_mode requires a code")
 
+    from ..models.qc import QCLDPCCode
+
+    if isinstance(code, QCLDPCCode):
+        # Hot case (fixed-code BEC, zero transmit, unsharded, raw): the
+        # roll decoder -- 24.5x the gather decoder at n=1e6
+        # (docs/VALIDATION.md round-5).  Every other mode expands to the
+        # generic edge-list code; the statistics are IDENTICAL either
+        # way (the roll decoder is bit-identical on expand(),
+        # tests/test_qc.py), only throughput differs.
+        if code.n != cfg.n:
+            raise ValueError(f"QC code n={code.n} != cfg.n={cfg.n}")
+        fast = (pair == ("BEC", "bp") and cfg.code_mode == "fixed"
+                and mesh is None and cfg.expurgation is None
+                and cfg.transmit == "zero")
+        if fast:
+            return _make_qc_chunk_fn(cfg, code)
+        code = code.expand()
+
     enc_planes = None
     if cfg.transmit == "random" and cfg.code_mode == "fixed":
         # derive the systematic encoder once on the host, ship the GF(2)
@@ -531,6 +549,42 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
     return lambda key: jitted(key, channel_param, fixed_code, enc_planes)
 
 
+def _make_qc_chunk_fn(cfg: SimulationConfig, code):
+    """Roll-decoder chunk kernel for a fixed quasi-cyclic code (the
+    zero-transmit BEC+bp case).  The QC code's adjacency is STATIC (the
+    rolls' shifts must be compile-time constants), so the code is
+    closed over rather than traced; the compile cache keys on the
+    adjacency tuples, which fully determine the code."""
+    from ..ops.qc_bp import _adjacency, qc_bp_decode_packed_allzero
+
+    chk_side, _ = _adjacency(code)
+    words = cfg.batch // 32
+    static_key = ("qc", chk_side, code.Z, cfg.n, words, cfg.iterations)
+    jitted = _CHUNK_CACHE.get(static_key)
+    if jitted is None:
+        def chunk(key, channel_param):
+            erased = bernoulli_packed(key, channel_param,
+                                      (cfg.n, words))
+            res = qc_bp_decode_packed_allzero(code, erased,
+                                              cfg.iterations)
+            per_trial = res.bit_errors
+            return ChunkStats(
+                error_totals=res.error_totals,
+                block_errors=jnp.sum(res.failed).astype(jnp.int32),
+                bit_errors=jnp.sum(per_trial).astype(jnp.int32),
+                excluded=jnp.int32(0),
+                bit_errors_sq=jnp.sum(jnp.square(
+                    per_trial.astype(jnp.float32))),
+            )
+
+        if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        jitted = _CHUNK_CACHE[static_key] = jax.jit(chunk)
+
+    channel_param = jnp.float32(cfg.channel_param)
+    return lambda key: jitted(key, channel_param)
+
+
 def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
                                mesh: Mesh):
     """Chunk kernel for huge-n fixed-code runs: the *graph* is sharded
@@ -543,9 +597,12 @@ def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
     This is the Monte-Carlo closure of SURVEY section 5's long-context
     analogue: FER/waterfall statistics at n = 10^5..10^6, beyond the
     reference's largest plotted n = 10^5 (tools/plotting.py:357)."""
+    from ..models.qc import QCLDPCCode
     from .edge_sharded import (edge_sharded_bp_decode,
                                edge_sharded_bp_decode_irregular)
 
+    if isinstance(code, QCLDPCCode):
+        code = code.expand()   # statistics identical; see make_chunk_fn
     words = cfg.batch // 32
     if isinstance(code, IrregularLDPCCode):
         decode = edge_sharded_bp_decode_irregular  # pads rows itself
@@ -819,6 +876,11 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     chunk of ``cfg.batch`` trials, accumulates host-side counters, and
     checks the three stopping rules at chunk granularity.
     """
+    from ..models.qc import QCLDPCCode
+
+    if isinstance(code, QCLDPCCode) and cfg.decoder in ("ml", "both",
+                                                        "peeling"):
+        code = code.expand()   # host drivers take edge-list codes
     if cfg.decoder in ("ml", "both"):
         return _run_ml_or_both(cfg, code)
     if cfg.decoder == "peeling":

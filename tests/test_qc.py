@@ -110,3 +110,46 @@ def test_qc_through_monte_carlo_engine(qc):
     r = run_simulation(cfg, code=code)
     assert r.num_trials == 256
     assert 0 < r.block_error_rate < 1
+
+
+def test_qc_engine_fast_path_bit_identical_to_expand(qc):
+    """run_simulation on the QC object (roll fast path) must produce
+    BIT-IDENTICAL counters to running on code.expand() (generic
+    kernels): same seed -> same chunk keys -> same erasure planes ->
+    the decoders are bit-identical -> every statistic equal."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.42, n=qc.n,
+                           dv=3, dc=6, decoder="bp", iterations=30,
+                           num_tests=512, batch=256,
+                           max_block_errors=10 ** 9, seed=9,
+                           code_mode="fixed")
+    fast = run_simulation(cfg, code=qc)
+    generic = run_simulation(cfg, code=qc.expand())
+    assert fast.num_trials == generic.num_trials
+    assert fast.block_errors == generic.block_errors
+    assert fast.bit_errors == generic.bit_errors
+    assert fast.bit_errors_sq == generic.bit_errors_sq
+    assert fast.error_counts_per_iteration == \
+        generic.error_counts_per_iteration
+
+
+def test_qc_engine_other_modes_expand_transparently(qc):
+    """Non-fast-path modes (here: ML decoder and expurgated BEC) accept
+    the QC object and run via expand()."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    r = run_simulation(SimulationConfig(
+        channel="BEC", channel_param=0.42, n=qc.n, dv=3, dc=6,
+        decoder="ml", iterations=10, num_tests=64, batch=64,
+        max_block_errors=10 ** 9, seed=2, code_mode="fixed"), code=qc)
+    assert r.num_trials == 64
+    assert r.optimal_block_error_rate is not None
+    r2 = run_simulation(SimulationConfig(
+        channel="BEC", channel_param=0.45, n=qc.n, dv=3, dc=6,
+        decoder="bp", iterations=20, num_tests=128, batch=128,
+        expurgation=1, max_block_errors=10 ** 9, seed=3,
+        code_mode="fixed"), code=qc)
+    assert r2.num_trials == 128
