@@ -480,10 +480,9 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         if code.n != cfg.n:
             raise ValueError(f"QC code n={code.n} != cfg.n={cfg.n}")
         fast = (pair == ("BEC", "bp") and cfg.code_mode == "fixed"
-                and mesh is None and cfg.expurgation is None
-                and cfg.transmit == "zero")
+                and cfg.expurgation is None and cfg.transmit == "zero")
         if fast:
-            return _make_qc_chunk_fn(cfg, code)
+            return _make_qc_chunk_fn(cfg, code, mesh)
         code = code.expand()
 
     enc_planes = None
@@ -549,20 +548,26 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
     return lambda key: jitted(key, channel_param, fixed_code, enc_planes)
 
 
-def _make_qc_chunk_fn(cfg: SimulationConfig, code):
+def _make_qc_chunk_fn(cfg: SimulationConfig, code,
+                      mesh: Optional[Mesh] = None):
     """Roll-decoder chunk kernel for a fixed quasi-cyclic code (the
     zero-transmit BEC+bp case).  The QC code's adjacency is STATIC (the
     rolls' shifts must be compile-time constants), so the code is
     closed over rather than traced; the compile cache keys on the
-    adjacency tuples, which fully determine the code."""
+    adjacency tuples, which fully determine the code.  With a mesh, the
+    trial batch is sharded exactly like the generic engine (per-device
+    key fold + psum'd counters), so counters are independent of the
+    device count in the same way."""
     from ..ops.qc_bp import _adjacency, qc_bp_decode_packed_allzero
 
     chk_side, _ = _adjacency(code)
-    words = cfg.batch // 32
-    static_key = ("qc", chk_side, code.Z, cfg.n, words, cfg.iterations)
+    n_dev = 1 if mesh is None else mesh.size
+    words = cfg.batch // 32 // n_dev
+    static_key = ("qc", chk_side, code.Z, cfg.n, words, cfg.iterations,
+                  mesh)
     jitted = _CHUNK_CACHE.get(static_key)
     if jitted is None:
-        def chunk(key, channel_param):
+        def local_chunk(key, channel_param):
             erased = bernoulli_packed(key, channel_param,
                                       (cfg.n, words))
             res = qc_bp_decode_packed_allzero(code, erased,
@@ -576,6 +581,21 @@ def _make_qc_chunk_fn(cfg: SimulationConfig, code):
                 bit_errors_sq=jnp.sum(jnp.square(
                     per_trial.astype(jnp.float32))),
             )
+
+        if mesh is None:
+            chunk = local_chunk
+        else:
+            def chunk(key, channel_param):
+                def per_device(key, channel_param):
+                    idx = jax.lax.axis_index(BATCH_AXIS)
+                    stats = local_chunk(jax.random.fold_in(key, idx),
+                                        channel_param)
+                    return jax.tree.map(
+                        lambda x: jax.lax.psum(x, BATCH_AXIS), stats)
+
+                return jax.shard_map(per_device, mesh=mesh,
+                                     in_specs=(P(), P()),
+                                     out_specs=P())(key, channel_param)
 
         if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
             _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))

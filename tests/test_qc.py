@@ -153,3 +153,27 @@ def test_qc_engine_other_modes_expand_transparently(qc):
         expurgation=1, max_block_errors=10 ** 9, seed=3,
         code_mode="fixed"), code=qc)
     assert r2.num_trials == 128
+
+
+def test_qc_engine_sharded_matches_unsharded(qc):
+    """The QC fast path under an 8-device batch mesh: psum'd counters
+    (different per-device keys, so equality with the unsharded run is
+    statistical-by-construction -- what IS exact is the trial count and
+    the plausibility bands; the decoder itself is the bit-exact roll
+    kernel)."""
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.42, n=qc.n,
+                           dv=3, dc=6, decoder="bp", iterations=30,
+                           num_tests=2048, batch=512,
+                           max_block_errors=10 ** 9, seed=4,
+                           code_mode="fixed")
+    mesh = make_mesh()
+    sharded = run_simulation(cfg, code=qc, mesh=mesh)
+    single = run_simulation(cfg, code=qc)
+    assert sharded.num_trials == single.num_trials == 2048
+    assert sharded.bit_errors > 0
+    # same regime within loose Monte Carlo bands
+    assert abs(sharded.block_error_rate - single.block_error_rate) < 0.1
