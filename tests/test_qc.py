@@ -177,3 +177,48 @@ def test_qc_engine_sharded_matches_unsharded(qc):
     assert sharded.bit_errors > 0
     # same regime within loose Monte Carlo bands
     assert abs(sharded.block_error_rate - single.block_error_rate) < 0.1
+
+
+def test_qc_soft_int8_bit_exact(qc):
+    """Roll-based int8 min-sum == generic int8 min-sum on the expanded
+    code, bit for bit (integer arithmetic is order-independent)."""
+    from iib_project_ldpc_codes_tpu.ops import AWGN
+    from iib_project_ldpc_codes_tpu.ops.qc_soft_bp import qc_soft_bp_decode
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import soft_bp_decode
+
+    code = qc.expand()
+    ch = AWGN(0.9)
+    llr = ch.llr(ch.transmit(jax.random.key(30),
+                             jnp.zeros((code.n, 64), jnp.int32)))
+    a = qc_soft_bp_decode(qc, llr, 25, method="minsum",
+                          msg_dtype=jnp.int8)
+    b = soft_bp_decode(code, llr, 25, method="minsum",
+                       msg_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.error_totals),
+                                  np.asarray(b.error_totals))
+    assert int(a.iterations) == int(b.iterations)
+    np.testing.assert_array_equal(np.asarray(a.posterior),
+                                  np.asarray(b.posterior))
+    np.testing.assert_array_equal(np.asarray(a.satisfied),
+                                  np.asarray(b.satisfied))
+
+
+@pytest.mark.parametrize("method", ["minsum", "sumproduct"])
+def test_qc_soft_float_matches_generic(qc, method):
+    """Float paths agree to roundoff (posterior addition order differs);
+    hard decisions and counters must still coincide at these SNRs."""
+    from iib_project_ldpc_codes_tpu.ops import AWGN
+    from iib_project_ldpc_codes_tpu.ops.qc_soft_bp import qc_soft_bp_decode
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import soft_bp_decode
+
+    code = qc.expand()
+    ch = AWGN(0.85)
+    llr = ch.llr(ch.transmit(jax.random.key(31),
+                             jnp.zeros((code.n, 32), jnp.int32)))
+    a = qc_soft_bp_decode(qc, llr, 20, method=method)
+    b = soft_bp_decode(code, llr, 20, method=method)
+    np.testing.assert_allclose(np.asarray(a.posterior),
+                               np.asarray(b.posterior),
+                               rtol=1e-4, atol=1e-3)
+    assert np.mean(np.asarray(a.hard) == np.asarray(b.hard)) > 0.999
