@@ -479,7 +479,10 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         # tests/test_qc.py), only throughput differs.
         if code.n != cfg.n:
             raise ValueError(f"QC code n={code.n} != cfg.n={cfg.n}")
-        fast = (pair == ("BEC", "bp") and cfg.code_mode == "fixed"
+        soft_pairs = {("BSC", "sumproduct"), ("BSC", "minsum"),
+                      ("AWGN", "sumproduct"), ("AWGN", "minsum")}
+        fast = ((pair == ("BEC", "bp") or pair in soft_pairs)
+                and cfg.code_mode == "fixed"
                 and cfg.expurgation is None and cfg.transmit == "zero")
         if fast:
             return _make_qc_chunk_fn(cfg, code, mesh)
@@ -551,7 +554,10 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
 def _make_qc_chunk_fn(cfg: SimulationConfig, code,
                       mesh: Optional[Mesh] = None):
     """Roll-decoder chunk kernel for a fixed quasi-cyclic code (the
-    zero-transmit BEC+bp case).  The QC code's adjacency is STATIC (the
+    zero-transmit BEC+bp and soft-decoder cases -- the soft chunk draws
+    the same LLRs from the same key as _soft_chunk, so the int8 engine
+    path is bit-identical to running on expand()).  The QC code's
+    adjacency is STATIC (the
     rolls' shifts must be compile-time constants), so the code is
     closed over rather than traced; the compile cache keys on the
     adjacency tuples, which fully determine the code.  With a mesh, the
@@ -561,17 +567,32 @@ def _make_qc_chunk_fn(cfg: SimulationConfig, code,
     from ..ops.qc_bp import _adjacency, qc_bp_decode_packed_allzero
 
     chk_side, _ = _adjacency(code)
+    pair = (cfg.channel, cfg.decoder)
     n_dev = 1 if mesh is None else mesh.size
     words = cfg.batch // 32 // n_dev
     static_key = ("qc", chk_side, code.Z, cfg.n, words, cfg.iterations,
-                  mesh)
+                  pair, cfg.soft_msg_dtype, cfg.minsum_alpha,
+                  cfg.minsum_beta, mesh)
     jitted = _CHUNK_CACHE.get(static_key)
     if jitted is None:
         def local_chunk(key, channel_param):
-            erased = bernoulli_packed(key, channel_param,
-                                      (cfg.n, words))
-            res = qc_bp_decode_packed_allzero(code, erased,
-                                              cfg.iterations)
+            if pair == ("BEC", "bp"):
+                erased = bernoulli_packed(key, channel_param,
+                                          (cfg.n, words))
+                res = qc_bp_decode_packed_allzero(code, erased,
+                                                  cfg.iterations)
+            else:
+                from ..ops.channels import AWGN, BSC
+                from ..ops.qc_soft_bp import qc_soft_bp_decode
+
+                ch_cls = AWGN if cfg.channel == "AWGN" else BSC
+                ch = ch_cls(channel_param)
+                llr = ch.llr(ch.transmit(
+                    key, jnp.zeros((cfg.n, 32 * words), jnp.int32)))
+                res = qc_soft_bp_decode(
+                    code, llr, cfg.iterations, method=cfg.decoder,
+                    alpha=cfg.minsum_alpha, beta=cfg.minsum_beta,
+                    msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
             per_trial = res.bit_errors
             return ChunkStats(
                 error_totals=res.error_totals,

@@ -222,3 +222,25 @@ def test_qc_soft_float_matches_generic(qc, method):
                                np.asarray(b.posterior),
                                rtol=1e-4, atol=1e-3)
     assert np.mean(np.asarray(a.hard) == np.asarray(b.hard)) > 0.999
+
+
+def test_qc_engine_soft_int8_bit_identical_to_expand(qc):
+    """The engine's QC soft fast path draws the same LLRs from the same
+    chunk keys as the generic _soft_chunk, and the int8 decoder is
+    bit-exact -- so whole-run counters must be identical."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="AWGN", channel_param=0.9, n=qc.n,
+                           dv=3, dc=6, decoder="minsum",
+                           soft_msg_dtype="int8", iterations=20,
+                           num_tests=256, batch=128,
+                           max_block_errors=10 ** 9, seed=17,
+                           code_mode="fixed")
+    fast = run_simulation(cfg, code=qc)
+    generic = run_simulation(cfg, code=qc.expand())
+    assert fast.num_trials == generic.num_trials == 256
+    assert fast.block_errors == generic.block_errors
+    assert fast.bit_errors == generic.bit_errors
+    assert fast.error_counts_per_iteration == \
+        generic.error_counts_per_iteration
