@@ -21,7 +21,11 @@ item 4):
     iterations from the early exit).  NB examples/bench_irregular.py's
     2.35 figure is a different convention -- it regenerates the packed
     channel inside the timing loop, whose un-jitted per-call dispatches
-    through the axon tunnel dominate (~20 ms/call, measured r5).
+    through the axon tunnel dominate (~20 ms/call, measured r5);
+  * ``qc_n1e6_bits_s`` -- the quasi-cyclic roll decoder at n ~ 1e6
+    (Z=83334 lift, words=48), the huge-n structural fast path: 2.7
+    Ginfobit/s measured vs 0.11-0.15 for the generic gather decoder on
+    the same code (docs/VALIDATION.md round-5).
 
 Flags:
   --dry        tiny CPU run (pipeline/CI check, ~seconds; still one JSON line)
@@ -142,6 +146,21 @@ def main(argv=None):
         irr_rates = _timed_rates(irr_fn, irr_erased,
                                  irr_code.k * 32 * wi, reps, 1)
         record["irregular_bits_s"] = round(irr_rates[0], 1)
+
+        # --- secondary tripwire 3: QC roll decoder at n ~ 1e6 ---------
+        from iib_project_ldpc_codes_tpu.models.qc import sample_qc_code
+        from iib_project_ldpc_codes_tpu.ops.qc_bp import (
+            qc_bp_decode_packed_allzero)
+
+        Zq, wq = (40, 4) if dry else (83334, 48)
+        qc = sample_qc_code(jax.random.key(6), nb=12, dv=3, dc=6, Z=Zq)
+        qc_erased = bec_packed_channel(jax.random.key(7), eps,
+                                       (qc.n, wq))
+        qc_fn = jax.jit(lambda e: qc_bp_decode_packed_allzero(
+            qc, e, iters).error_totals)
+        qc_rates = _timed_rates(qc_fn, qc_erased, (qc.n // 2) * 32 * wq,
+                                reps, 1)
+        record["qc_n1e6_bits_s"] = round(qc_rates[0], 1)
 
     print(json.dumps(record))
     return 0
