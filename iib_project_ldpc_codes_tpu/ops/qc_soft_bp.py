@@ -105,6 +105,13 @@ def _qc_soft_core(llr, chk_side, var_side, max_iters, method, alpha,
     quantised = jnp.dtype(msg_dtype) == jnp.int8
     if quantised and method != "minsum":
         raise ValueError("int8 messages require method='minsum'")
+    if quantised and (alpha != 1.0 or beta != 0.0):
+        # same loud contract as the generic decoder (ops/soft_bp.py):
+        # saturation replaces the corrections; silently mixing float
+        # alpha/beta into int16 planes would break the bit-identity
+        # guarantee without failing
+        raise ValueError("int8 min-sum: saturation replaces alpha/beta "
+                         "corrections")
     if quantised:
         acc_dtype = jnp.int16
         llr0 = jnp.clip(jnp.round(llr_b * int8_scale), -_INT8_MAX,
@@ -113,7 +120,12 @@ def _qc_soft_core(llr, chk_side, var_side, max_iters, method, alpha,
         acc_dtype = jnp.float32
         llr0 = llr_b
 
-    mcv0 = jnp.zeros((mb * dcb, Z, B), msg_dtype)
+    from .bitops import with_vma_of
+
+    # carries must carry llr's varying-manual-axes type under shard_map
+    # (jax 0.9 while_loop does not promote; same re-tag as the generic
+    # decoder, ops/soft_bp.py)
+    mcv0 = with_vma_of(jnp.zeros((mb * dcb, Z, B), msg_dtype), llr0)
     count0 = jnp.sum(llr_b < 0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
@@ -131,7 +143,9 @@ def _qc_soft_core(llr, chk_side, var_side, max_iters, method, alpha,
         return (mcv, errors, it + 1, jnp.all(sat_prev))
 
     mcv, errors, it, _ = jax.lax.while_loop(
-        cond, body, (mcv0, errors, jnp.int32(0), jnp.asarray(False)))
+        cond, body,
+        (mcv0, errors, jnp.int32(0),
+         with_vma_of(jnp.asarray(False), llr0)))
 
     post = _qc_posterior(llr0, mcv, var_side, dcb, acc_dtype)
     decisions = post < 0

@@ -479,9 +479,13 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         # tests/test_qc.py), only throughput differs.
         if code.n != cfg.n:
             raise ValueError(f"QC code n={code.n} != cfg.n={cfg.n}")
-        soft_pairs = {("BSC", "sumproduct"), ("BSC", "minsum"),
-                      ("AWGN", "sumproduct"), ("AWGN", "minsum")}
-        fast = ((pair == ("BEC", "bp") or pair in soft_pairs)
+        # soft fast path: int8 ONLY -- integer arithmetic makes the roll
+        # decoder bit-identical to the generic one, so the engine's
+        # counters are representation-independent; float dtypes differ
+        # by addition-order roundoff and go through expand() instead
+        soft_pairs = {("BSC", "minsum"), ("AWGN", "minsum")}
+        fast = ((pair == ("BEC", "bp")
+                 or (pair in soft_pairs and cfg.soft_msg_dtype == "int8"))
                 and cfg.code_mode == "fixed"
                 and cfg.expurgation is None and cfg.transmit == "zero")
         if fast:
@@ -593,15 +597,8 @@ def _make_qc_chunk_fn(cfg: SimulationConfig, code,
                     code, llr, cfg.iterations, method=cfg.decoder,
                     alpha=cfg.minsum_alpha, beta=cfg.minsum_beta,
                     msg_dtype=jnp.dtype(cfg.soft_msg_dtype))
-            per_trial = res.bit_errors
-            return ChunkStats(
-                error_totals=res.error_totals,
-                block_errors=jnp.sum(res.failed).astype(jnp.int32),
-                bit_errors=jnp.sum(per_trial).astype(jnp.int32),
-                excluded=jnp.int32(0),
-                bit_errors_sq=jnp.sum(jnp.square(
-                    per_trial.astype(jnp.float32))),
-            )
+            return _final_count_stats(res.error_totals, res.bit_errors,
+                                      None)
 
         if mesh is None:
             chunk = local_chunk

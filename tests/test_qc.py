@@ -244,3 +244,50 @@ def test_qc_engine_soft_int8_bit_identical_to_expand(qc):
     assert fast.bit_errors == generic.bit_errors
     assert fast.error_counts_per_iteration == \
         generic.error_counts_per_iteration
+
+
+def test_qc_soft_int8_rejects_alpha_beta(qc):
+    """Same loud contract as the generic decoder: int8 + alpha/beta
+    must raise, not silently break the bit-identity guarantee."""
+    from iib_project_ldpc_codes_tpu.ops.qc_soft_bp import qc_soft_bp_decode
+
+    llr = jnp.ones((qc.n, 32), jnp.float32)
+    with pytest.raises(ValueError, match="saturation"):
+        qc_soft_bp_decode(qc, llr, 5, method="minsum",
+                          msg_dtype=jnp.int8, alpha=0.8)
+
+
+def test_qc_engine_soft_int8_sharded(qc):
+    """The QC int8 soft fast path under the 8-device batch mesh (the
+    vma re-tag regression the round-5 review caught: un-tagged
+    while_loop carries hard-error at trace time under shard_map)."""
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="AWGN", channel_param=0.9, n=qc.n,
+                           dv=3, dc=6, decoder="minsum",
+                           soft_msg_dtype="int8", iterations=15,
+                           num_tests=512, batch=256,
+                           max_block_errors=10 ** 9, seed=19,
+                           code_mode="fixed")
+    r = run_simulation(cfg, code=qc, mesh=make_mesh())
+    assert r.num_trials == 512
+    assert r.bit_errors > 0
+
+
+def test_qc_engine_float_soft_expands(qc):
+    """Float soft dtypes go through expand() (no bit-identity claim for
+    roundoff-different paths): the run must succeed and match the
+    explicit expanded run exactly, because it IS the expanded path."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="AWGN", channel_param=0.9, n=qc.n,
+                           dv=3, dc=6, decoder="sumproduct",
+                           iterations=10, num_tests=128, batch=128,
+                           max_block_errors=10 ** 9, seed=23,
+                           code_mode="fixed")
+    a = run_simulation(cfg, code=qc)
+    b = run_simulation(cfg, code=qc.expand())
+    assert a.error_counts_per_iteration == b.error_counts_per_iteration
