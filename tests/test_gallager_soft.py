@@ -675,3 +675,29 @@ def test_soft_irregular_int8_chunk_exact_expurgation():
     assert int(stats.bit_errors) == int(traj[-1][include].sum())
     np.testing.assert_array_equal(np.asarray(stats.error_totals),
                                   traj[:, include].sum(axis=1))
+
+
+def test_expurgated_gallager_sharded_runs_and_gates():
+    """Exact expurgation (record='per_trial' traj inside shard_map)
+    under the 8-device batch mesh: compiles, runs, and gates."""
+    from iib_project_ldpc_codes_tpu.parallel.mesh import make_mesh
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BSC", channel_param=0.05, n=96,
+                           dv=3, dc=6, decoder="gallager", iterations=15,
+                           num_tests=1024, batch=512, expurgation=1,
+                           max_block_errors=10 ** 9, seed=29,
+                           code_mode="fixed", code_number=5)
+    from iib_project_ldpc_codes_tpu.models.ensemble import code_for_config
+
+    r = run_simulation(cfg, code=code_for_config(cfg),
+                       mesh=make_mesh())
+    assert r.num_trials == 1024
+    assert r.excluded_trials > 0
+    # expurgated per-iteration counts can never exceed raw totals
+    raw = run_simulation(
+        SimulationConfig(**{**cfg.__dict__, "expurgation": None}),
+        code=code_for_config(cfg), mesh=make_mesh())
+    assert all(e <= rw for e, rw in zip(r.error_counts_per_iteration,
+                                        raw.error_counts_per_iteration))
