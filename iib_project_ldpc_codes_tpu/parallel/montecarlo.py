@@ -484,7 +484,7 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
         # counters are representation-independent; float dtypes differ
         # by addition-order roundoff and go through expand() instead
         soft_pairs = {("BSC", "minsum"), ("AWGN", "minsum")}
-        fast = ((pair == ("BEC", "bp")
+        fast = ((pair in (("BEC", "bp"), ("BSC", "gallager"))
                  or (pair in soft_pairs and cfg.soft_msg_dtype == "int8"))
                 and cfg.code_mode == "fixed"
                 and cfg.expurgation is None and cfg.transmit == "zero")
@@ -576,7 +576,7 @@ def _make_qc_chunk_fn(cfg: SimulationConfig, code,
     words = cfg.batch // 32 // n_dev
     static_key = ("qc", chk_side, code.Z, cfg.n, words, cfg.iterations,
                   pair, cfg.soft_msg_dtype, cfg.minsum_alpha,
-                  cfg.minsum_beta, mesh)
+                  cfg.minsum_beta, cfg.gallager_threshold, mesh)
     jitted = _CHUNK_CACHE.get(static_key)
     if jitted is None:
         def local_chunk(key, channel_param):
@@ -585,6 +585,14 @@ def _make_qc_chunk_fn(cfg: SimulationConfig, code,
                                           (cfg.n, words))
                 res = qc_bp_decode_packed_allzero(code, erased,
                                                   cfg.iterations)
+            elif pair == ("BSC", "gallager"):
+                from ..ops.qc_gallager import qc_gallager_decode_packed
+
+                received = bernoulli_packed(key, channel_param,
+                                            (cfg.n, words))
+                res = qc_gallager_decode_packed(
+                    code, received, cfg.iterations,
+                    threshold=cfg.gallager_threshold)
             else:
                 from ..ops.channels import AWGN, BSC
                 from ..ops.qc_soft_bp import qc_soft_bp_decode

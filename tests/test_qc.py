@@ -291,3 +291,46 @@ def test_qc_engine_float_soft_expands(qc):
     a = run_simulation(cfg, code=qc)
     b = run_simulation(cfg, code=qc.expand())
     assert a.error_counts_per_iteration == b.error_counts_per_iteration
+
+
+def test_qc_gallager_bit_exact(qc):
+    """Roll-based Gallager-A == generic on the expanded code, bit for
+    bit (pure bitwise algebra), incl. per-trial trajectories."""
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed)
+    from iib_project_ldpc_codes_tpu.ops.qc_gallager import (
+        qc_gallager_decode_packed)
+
+    code = qc.expand()
+    received = bernoulli_packed(jax.random.key(40), 0.05, (code.n, 4))
+    for thresh in (None, 1):
+        a = qc_gallager_decode_packed(qc, received, 15, threshold=thresh,
+                                      record="per_trial")
+        b = gallager_decode_packed(code, received, 15, threshold=thresh,
+                                   record="per_trial")
+        np.testing.assert_array_equal(np.asarray(a.decided),
+                                      np.asarray(b.decided))
+        np.testing.assert_array_equal(np.asarray(a.traj),
+                                      np.asarray(b.traj))
+        np.testing.assert_array_equal(np.asarray(a.error_totals),
+                                      np.asarray(b.error_totals))
+        assert int(a.iterations) == int(b.iterations)
+
+
+def test_qc_engine_gallager_bit_identical_to_expand(qc):
+    """The Gallager QC fast path: whole-run counters identical to the
+    generic engine on expand() (same keys, bit-exact decoder)."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BSC", channel_param=0.05, n=qc.n,
+                           dv=3, dc=6, decoder="gallager",
+                           iterations=15, num_tests=256, batch=128,
+                           max_block_errors=10 ** 9, seed=31,
+                           code_mode="fixed")
+    fast = run_simulation(cfg, code=qc)
+    generic = run_simulation(cfg, code=qc.expand())
+    assert fast.block_errors == generic.block_errors
+    assert fast.bit_errors == generic.bit_errors
+    assert fast.error_counts_per_iteration == \
+        generic.error_counts_per_iteration
