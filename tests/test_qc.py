@@ -334,3 +334,33 @@ def test_qc_engine_gallager_bit_identical_to_expand(qc):
     assert fast.bit_errors == generic.bit_errors
     assert fast.error_counts_per_iteration == \
         generic.error_counts_per_iteration
+
+
+def test_qc_degenerate_lift_is_base_code():
+    """Z=1 lift == the base code itself (shifts all 0 mod 1)."""
+    from iib_project_ldpc_codes_tpu.models.ensemble import sample_check_table
+
+    qc = sample_qc_code(jax.random.key(6), nb=24, dv=3, dc=6, Z=1)
+    code = qc.expand()
+    assert code.n == 24
+    np.testing.assert_array_equal(np.asarray(code.chk_to_var),
+                                  np.asarray(qc.base_chk))
+    # and the base table is exactly what the regular sampler draws from
+    # the split subkey (sample_qc_code splits (base, shifts))
+    k_base, _ = jax.random.split(jax.random.key(6))
+    np.testing.assert_array_equal(
+        np.asarray(qc.base_chk),
+        np.asarray(sample_check_table(k_base, 24, 3, 6, "repair")))
+
+
+def test_qc_sampler_reproducible_and_shift_range():
+    a = sample_qc_code(jax.random.key(7), nb=12, dv=3, dc=6, Z=37)
+    b = sample_qc_code(jax.random.key(7), nb=12, dv=3, dc=6, Z=37)
+    np.testing.assert_array_equal(np.asarray(a.base_chk),
+                                  np.asarray(b.base_chk))
+    np.testing.assert_array_equal(np.asarray(a.shifts),
+                                  np.asarray(b.shifts))
+    sh = np.asarray(a.shifts)
+    assert sh.min() >= 0 and sh.max() < 37
+    c = sample_qc_code(jax.random.key(8), nb=12, dv=3, dc=6, Z=37)
+    assert not np.array_equal(np.asarray(a.shifts), np.asarray(c.shifts))
