@@ -87,6 +87,102 @@ class QCLDPCCode:
                                 dc=self.dc)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IrregularQCLDPCCode:
+    """A Z-lifted IRREGULAR protograph code (5G-NR-style base graphs).
+
+    ``base_chk[mb, dcb_max]`` -- base-variable index per base-check
+    socket, padded with the sentinel ``nb`` (absent socket);
+    ``shifts`` -- circulant shift per base edge (0 at padding).  The
+    roll decoders need no phantom machinery for irregularity: padded
+    sockets are simply filtered out of the static adjacency, so every
+    lifted check/variable runs at its real degree.
+    """
+
+    base_chk: jax.Array   # int32[mb, dcb_max], sentinel nb
+    shifts: jax.Array     # int32[mb, dcb_max]
+    Z: int = dataclasses.field(metadata=dict(static=True))
+    nb: int = dataclasses.field(metadata=dict(static=True))
+    mb: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n(self) -> int:
+        return self.nb * self.Z
+
+    @property
+    def m(self) -> int:
+        return self.mb * self.Z
+
+    @property
+    def k(self) -> int:
+        return self.n - self.m
+
+    def expand(self):
+        """Materialise as a phantom-padded
+        :class:`..models.irregular.IrregularLDPCCode` (so every generic
+        irregular kernel/driver runs on the lifted code), built
+        directly from the lift structure -- no dense H, so this works
+        at any n.
+        """
+        from .irregular import IrregularLDPCCode
+
+        base = np.asarray(self.base_chk)
+        sh = np.asarray(self.shifts)
+        mb, dcb_max = base.shape
+        Z, nb = self.Z, self.nb
+        n, m = self.n, self.m
+        z = np.arange(Z)
+
+        chk_to_var = np.full((m + 1, dcb_max), n, np.int32)
+        for c in range(mb):
+            real = np.nonzero(base[c] < nb)[0]
+            for slot, j in enumerate(real):
+                chk_to_var[c * Z:(c + 1) * Z, slot] = (
+                    base[c, j] * Z + (z + sh[c, j]) % Z)
+
+        # variable side: block b's base sockets in (check, slot, shift)
+        # form; lifted variable (b, z) meets check (c, (z - s) mod Z)
+        var_sockets = [[] for _ in range(nb)]
+        for c in range(mb):
+            real = np.nonzero(base[c] < nb)[0]
+            for slot, j in enumerate(real):
+                var_sockets[int(base[c, j])].append((c, slot, int(sh[c, j])))
+        dv_max = max(len(s) for s in var_sockets)
+        var_to_chk = np.full((n + 1, dv_max), m, np.int32)
+        var_to_sock = np.full((n + 1, dv_max), m * dcb_max, np.int32)
+        for b, sockets in enumerate(var_sockets):
+            for i, (c, slot, s) in enumerate(sockets):
+                rows = c * Z + (z - s) % Z
+                var_to_chk[b * Z:(b + 1) * Z, i] = rows
+                var_to_sock[b * Z:(b + 1) * Z, i] = rows * dcb_max + slot
+        E = sum(len(s) for s in var_sockets) * Z
+        return IrregularLDPCCode(
+            chk_to_var=jnp.asarray(chk_to_var),
+            var_to_chk=jnp.asarray(var_to_chk),
+            var_to_sock=jnp.asarray(var_to_sock),
+            n=n, m=m, dv_max=dv_max, dc_max=dcb_max, num_edges=E)
+
+
+def sample_qc_code_irregular(key: jax.Array, nb: int, lam, rho, Z: int,
+                             method: str = "repair"
+                             ) -> IrregularQCLDPCCode:
+    """Sample an irregular protograph: base graph from the (lam, rho)
+    configuration model at base scale nb (models/irregular.py sampler),
+    shifts uniform in [0, Z) on the real sockets."""
+    from .irregular import IrregularEnsembleSpec
+
+    k_base, k_shift = jax.random.split(key)
+    spec = IrregularEnsembleSpec.from_lam_rho(nb, lam, rho)
+    base = spec.sample(k_base, method)
+    base_chk = jnp.asarray(np.asarray(base.chk_to_var)[:-1])  # drop
+    # the phantom row; sentinel entries == nb mark absent sockets
+    shifts = jax.random.randint(k_shift, base_chk.shape, 0, Z, jnp.int32)
+    shifts = jnp.where(base_chk < nb, shifts, 0)
+    return IrregularQCLDPCCode(base_chk=base_chk, shifts=shifts, Z=Z,
+                               nb=nb, mb=int(base.m))
+
+
 def sample_qc_code(key: jax.Array, nb: int, dv: int, dc: int, Z: int,
                    method: str = "repair") -> QCLDPCCode:
     """Sample a QC code: base graph from the (dv,dc) configuration model

@@ -36,15 +36,22 @@ from .erasure_bp import (PackedBPResult, _check_packed_batch_bits,
                          _run_to_fixed_point)
 
 
-def _adjacency(code: QCLDPCCode) -> Tuple[tuple, tuple]:
+def _adjacency(code) -> Tuple[tuple, tuple]:
     """Hashable static routing: per base check its ((block, shift), ...)
-    sockets, and the variable-block count (the jitted cores key their
-    compilation cache on these tuples)."""
+    REAL sockets, and the variable-block count (the jitted cores key
+    their compilation cache on these tuples).
+
+    Accepts regular (QCLDPCCode) and irregular (IrregularQCLDPCCode)
+    bases: padded sockets (sentinel block index == nb) are filtered out
+    here, so the roll kernels need no phantom machinery -- every lifted
+    check runs at its real degree (the per-row loops below are already
+    length-agnostic)."""
     base = np.asarray(code.base_chk)
     sh = np.asarray(code.shifts)
     mb, dcb = base.shape
     chk_side = tuple(
-        tuple((int(base[c, j]), int(sh[c, j])) for j in range(dcb))
+        tuple((int(base[c, j]), int(sh[c, j])) for j in range(dcb)
+              if base[c, j] < code.nb)
         for c in range(mb))
     return chk_side, code.nb
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models.qc import QCLDPCCode
 from .gallager import GallagerResult, _bitsliced_count_ge, _gallager_loop
 from .qc_bp import _adjacency
-from .qc_soft_bp import _var_adjacency
+from .qc_soft_bp import _row_offsets, _var_adjacency
 
 
 @partial(jax.jit, static_argnames=("chk_side", "var_side", "max_iters",
@@ -33,19 +33,27 @@ from .qc_soft_bp import _var_adjacency
 def _qc_gallager_core(received, tx_bits, chk_side, var_side, max_iters,
                       threshold, record) -> GallagerResult:
     nb = len(var_side)
-    dcb = len(chk_side[0])
-    dv = len(var_side[0])
     n, W = received.shape
     Z = n // nb
-    if threshold is None:
-        threshold = dv - 1  # Gallager-A
     channel = received.reshape(nb, Z, W)
+    off, _ = _row_offsets(chk_side)
+    degrees = [len(sockets) for sockets in var_side]
+    regular = len(set(degrees)) == 1
+    # flip rules: regular bases match gallager_decode_packed verbatim
+    # (raw threshold, no clamp); irregular bases match
+    # gallager_decode_packed_irregular's per-degree clamp
+    if regular:
+        t_of = lambda d: (d - 1) if threshold is None else threshold
+    elif threshold is None:
+        t_of = lambda d: max(d - 1, 1)
+    else:
+        t_of = lambda d: min(threshold, max(d - 1, 1))
 
     def step(mvc, it):
         # check extrinsic XOR per base check (check frame)
-        mcv = [None] * (len(chk_side) * dcb)
+        mcv = [None] * mvc.shape[0]
         for c, sockets in enumerate(chk_side):
-            planes = [mvc[c * dcb + jj] for jj in range(dcb)]
+            planes = [mvc[off[c] + jj] for jj in range(len(sockets))]
             pre = [jnp.zeros_like(planes[0])]
             for p in planes[:-1]:
                 pre.append(pre[-1] ^ p)
@@ -53,21 +61,22 @@ def _qc_gallager_core(received, tx_bits, chk_side, var_side, max_iters,
             for p in planes[:0:-1]:
                 suf.append(suf[-1] ^ p)
             suf.reverse()
-            for jj in range(dcb):
-                mcv[c * dcb + jj] = pre[jj] ^ suf[jj]
+            for jj in range(len(sockets)):
+                mcv[off[c] + jj] = pre[jj] ^ suf[jj]
 
         # variable side: disagree planes in the variable frame
         new_mvc = [None] * len(mcv)
         dec_blocks = []
         for b, sockets in enumerate(var_side):
-            disagree = [jnp.roll(mcv[c * dcb + jj], s, axis=0)
-                        ^ channel[b] for c, jj, s in sockets]
-            for p, (c, jj, s) in enumerate(sockets):
-                others = [disagree[l] for l in range(dv) if l != p]
-                flip = _bitsliced_count_ge(others, threshold)
+            d = len(sockets)
+            disagree = [jnp.roll(mcv[row], s, axis=0) ^ channel[b]
+                        for row, s in sockets]
+            for p, (row, s) in enumerate(sockets):
+                others = [disagree[l] for l in range(d) if l != p]
+                flip = _bitsliced_count_ge(others, t_of(d))
                 out = channel[b] ^ flip
-                new_mvc[c * dcb + jj] = jnp.roll(out, -s, axis=0)
-            dec_flip = _bitsliced_count_ge(disagree, dv // 2 + 1)
+                new_mvc[row] = jnp.roll(out, -s, axis=0)
+            dec_flip = _bitsliced_count_ge(disagree, d // 2 + 1)
             dec_blocks.append(channel[b] ^ dec_flip)
 
         new_mvc = jnp.stack(new_mvc)

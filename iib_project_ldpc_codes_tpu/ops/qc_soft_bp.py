@@ -6,8 +6,8 @@ gathers per round (ops/soft_bp.py) become static-shift ``jnp.roll``s of
 [Z, B] planes, so the production quantised decoder runs at stream
 bandwidth at any block length on the production code structure.
 
-State is the check-resident message array [mb*dcb, Z, B] (base-socket
-plane (c, jj) at row c*dcb+jj); the per-round algebra is the generic
+State is the check-resident message array [E_b, Z, B] (one plane per
+real base socket, check-major flat rows); the per-round algebra is the generic
 kernel's verbatim -- extrinsic min-sum (or tanh-product) with the same
 clips, corrections, and saturation, the free syndrome check from the
 gathered sign bits, and the same iteration accounting.  For integer
@@ -32,26 +32,39 @@ from .soft_bp import (_INT8_MAX, _LLR_CLIP, SoftBPResult,
                       _check_update_minsum, _check_update_sumproduct)
 
 
-def _var_adjacency(code: QCLDPCCode) -> tuple:
-    """Per variable block: ((check, socket, shift), ...) tuples."""
-    base = np.asarray(code.base_chk)
-    sh = np.asarray(code.shifts)
-    mb, dcb = base.shape
-    var_side = [[] for _ in range(code.nb)]
-    for c in range(mb):
-        for j in range(dcb):
-            var_side[int(base[c, j])].append((c, j, int(sh[c, j])))
+def _var_adjacency(code) -> tuple:
+    """Per variable block: ((flat state row, shift), ...) tuples.
+
+    Rows index the flat check-resident state in chk_side order (check-
+    major, real sockets only) -- the single source of truth is the
+    filtered ``_adjacency`` tuples, so regular and irregular bases
+    route identically."""
+    chk_side, nb = _adjacency(code)
+    var_side = [[] for _ in range(nb)]
+    row = 0
+    for sockets in chk_side:
+        for b, s in sockets:
+            var_side[b].append((row, s))
+            row += 1
     return tuple(tuple(v) for v in var_side)
 
 
-def _qc_posterior(llr0, mcv, var_side, dcb, acc_dtype):
+def _row_offsets(chk_side) -> tuple:
+    """Flat state-row offset of each base check's first socket."""
+    off, t = [], 0
+    for sockets in chk_side:
+        off.append(t)
+        t += len(sockets)
+    return tuple(off), t
+
+
+def _qc_posterior(llr0, mcv, var_side, acc_dtype):
     """[nb, Z, B] posterior = llr + sum of rolled incoming messages."""
     posts = []
     for j, sockets in enumerate(var_side):
         post = llr0[j].astype(acc_dtype)
-        for c, jj, s in sockets:
-            post = post + jnp.roll(mcv[c * dcb + jj], s,
-                                   axis=0).astype(acc_dtype)
+        for row, s in sockets:
+            post = post + jnp.roll(mcv[row], s, axis=0).astype(acc_dtype)
         posts.append(post)
     return jnp.stack(posts)
 
@@ -59,9 +72,9 @@ def _qc_posterior(llr0, mcv, var_side, dcb, acc_dtype):
 def _qc_soft_iteration(chk_side, var_side, llr0, mcv, method, alpha,
                        beta, acc_dtype, quantised):
     """One flooding round; mirrors ops/soft_bp._soft_iteration."""
-    dcb = len(chk_side[0])
+    off, _ = _row_offsets(chk_side)
     dtype = mcv.dtype
-    post = _qc_posterior(llr0, mcv, var_side, dcb, acc_dtype)
+    post = _qc_posterior(llr0, mcv, var_side, acc_dtype)
     if quantised:
         pm = jnp.clip(post, -_INT8_MAX, _INT8_MAX).astype(dtype)
     else:
@@ -76,8 +89,8 @@ def _qc_soft_iteration(chk_side, var_side, llr0, mcv, method, alpha,
             parity = parity ^ (r < 0)
         ok = ~jnp.any(parity, axis=0)
         sat = ok if sat is None else (sat & ok)
-        rows = [rows_c[jj].astype(acc_dtype) - mcv[c * dcb + jj]
-                .astype(acc_dtype) for jj in range(dcb)]
+        rows = [rows_c[jj].astype(acc_dtype) - mcv[off[c] + jj]
+                .astype(acc_dtype) for jj in range(len(sockets))]
         if quantised:
             upd = _check_update_minsum(rows, alpha, beta,
                                        mag_cap=_INT8_MAX)
@@ -97,8 +110,7 @@ def _qc_soft_iteration(chk_side, var_side, llr0, mcv, method, alpha,
 def _qc_soft_core(llr, chk_side, var_side, max_iters, method, alpha,
                   beta, msg_dtype, int8_scale) -> SoftBPResult:
     nb = len(var_side)
-    dcb = len(chk_side[0])
-    mb = len(chk_side)
+    _, total_rows = _row_offsets(chk_side)
     n, B = llr.shape
     Z = n // nb
     llr_b = jnp.asarray(llr, jnp.float32).reshape(nb, Z, B)
@@ -125,7 +137,8 @@ def _qc_soft_core(llr, chk_side, var_side, max_iters, method, alpha,
     # carries must carry llr's varying-manual-axes type under shard_map
     # (jax 0.9 while_loop does not promote; same re-tag as the generic
     # decoder, ops/soft_bp.py)
-    mcv0 = with_vma_of(jnp.zeros((mb * dcb, Z, B), msg_dtype), llr0)
+    mcv0 = with_vma_of(jnp.zeros((total_rows, Z, B), msg_dtype),
+                       llr0)
     count0 = jnp.sum(llr_b < 0).astype(jnp.int32)
     errors = jnp.zeros(max_iters + 1, jnp.int32).at[0].set(count0)
 
@@ -147,7 +160,7 @@ def _qc_soft_core(llr, chk_side, var_side, max_iters, method, alpha,
         (mcv0, errors, jnp.int32(0),
          with_vma_of(jnp.asarray(False), llr0)))
 
-    post = _qc_posterior(llr0, mcv, var_side, dcb, acc_dtype)
+    post = _qc_posterior(llr0, mcv, var_side, acc_dtype)
     decisions = post < 0
     final = jnp.sum(decisions).astype(jnp.int32)
     tail = jnp.arange(max_iters + 1) >= it

@@ -468,9 +468,9 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
     if cfg.code_mode == "fixed" and code is None:
         raise ValueError("fixed code_mode requires a code")
 
-    from ..models.qc import QCLDPCCode
+    from ..models.qc import IrregularQCLDPCCode, QCLDPCCode
 
-    if isinstance(code, QCLDPCCode):
+    if isinstance(code, (QCLDPCCode, IrregularQCLDPCCode)):
         # Hot case (fixed-code BEC, zero transmit, unsharded, raw): the
         # roll decoder -- 24.5x the gather decoder at n=1e6
         # (docs/VALIDATION.md round-5).  Every other mode expands to the
@@ -643,11 +643,11 @@ def make_edge_sharded_chunk_fn(cfg: SimulationConfig, code: LDPCCode,
     This is the Monte-Carlo closure of SURVEY section 5's long-context
     analogue: FER/waterfall statistics at n = 10^5..10^6, beyond the
     reference's largest plotted n = 10^5 (tools/plotting.py:357)."""
-    from ..models.qc import QCLDPCCode
+    from ..models.qc import IrregularQCLDPCCode, QCLDPCCode
     from .edge_sharded import (edge_sharded_bp_decode,
                                edge_sharded_bp_decode_irregular)
 
-    if isinstance(code, QCLDPCCode):
+    if isinstance(code, (QCLDPCCode, IrregularQCLDPCCode)):
         code = code.expand()   # statistics identical; see make_chunk_fn
     words = cfg.batch // 32
     if isinstance(code, IrregularLDPCCode):
@@ -922,10 +922,11 @@ def run_simulation(cfg: SimulationConfig, code: Optional[LDPCCode] = None,
     chunk of ``cfg.batch`` trials, accumulates host-side counters, and
     checks the three stopping rules at chunk granularity.
     """
-    from ..models.qc import QCLDPCCode
+    from ..models.qc import IrregularQCLDPCCode, QCLDPCCode
 
-    if isinstance(code, QCLDPCCode) and cfg.decoder in ("ml", "both",
-                                                        "peeling"):
+    if isinstance(code, (QCLDPCCode,
+                         IrregularQCLDPCCode)) and cfg.decoder in (
+            "ml", "both", "peeling"):
         code = code.expand()   # host drivers take edge-list codes
     if cfg.decoder in ("ml", "both"):
         return _run_ml_or_both(cfg, code)

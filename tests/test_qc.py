@@ -364,3 +364,107 @@ def test_qc_sampler_reproducible_and_shift_range():
     assert sh.min() >= 0 and sh.max() < 37
     c = sample_qc_code(jax.random.key(8), nb=12, dv=3, dc=6, Z=37)
     assert not np.array_equal(np.asarray(a.shifts), np.asarray(c.shifts))
+
+
+# ---------------------------------------------------------------------------
+# Irregular protograph bases (IrregularQCLDPCCode)
+# ---------------------------------------------------------------------------
+
+LAM = [0, 1 / 3, 0, 2 / 3]
+RHO = [0, 0, 0, 0, 0, 1.0]
+
+
+@pytest.fixture(scope="module")
+def iqc():
+    from iib_project_ldpc_codes_tpu.models.qc import sample_qc_code_irregular
+
+    return sample_qc_code_irregular(jax.random.key(50), nb=24, lam=LAM,
+                                    rho=RHO, Z=16)
+
+
+def test_irregular_qc_expand_structure(iqc):
+    from iib_project_ldpc_codes_tpu.models.irregular import (
+        validate_irregular_code)
+
+    code = iqc.expand()
+    assert code.n == 24 * 16 and code.m == iqc.mb * 16
+    validate_irregular_code(code)
+    # lifted degrees replicate the base degrees Z-fold
+    base_vdeg = np.bincount(
+        np.asarray(iqc.base_chk)[np.asarray(iqc.base_chk) < iqc.nb],
+        minlength=iqc.nb)
+    np.testing.assert_array_equal(
+        np.asarray(code.var_degrees), np.repeat(base_vdeg, iqc.Z))
+
+
+@pytest.mark.parametrize("eps", [0.35, 0.45])
+def test_irregular_qc_bec_bit_exact(iqc, eps):
+    from iib_project_ldpc_codes_tpu.ops.erasure_bp import (
+        bp_decode_packed_allzero_irregular)
+
+    code = iqc.expand()
+    erased = bernoulli_packed(jax.random.key(int(eps * 100)), eps,
+                              (iqc.n, 3))
+    a = qc_bp_decode_packed_allzero(iqc, erased, 30)
+    b = bp_decode_packed_allzero_irregular(code, erased, 30)
+    np.testing.assert_array_equal(np.asarray(a.known), np.asarray(b.known))
+    np.testing.assert_array_equal(np.asarray(a.error_totals),
+                                  np.asarray(b.error_totals))
+    assert int(a.iterations) == int(b.iterations)
+
+
+def test_irregular_qc_soft_int8_bit_exact(iqc):
+    from iib_project_ldpc_codes_tpu.ops import AWGN
+    from iib_project_ldpc_codes_tpu.ops.qc_soft_bp import qc_soft_bp_decode
+    from iib_project_ldpc_codes_tpu.ops.soft_bp import (
+        soft_bp_decode_irregular)
+
+    code = iqc.expand()
+    ch = AWGN(0.9)
+    llr = ch.llr(ch.transmit(jax.random.key(51),
+                             jnp.zeros((iqc.n, 64), jnp.int32)))
+    a = qc_soft_bp_decode(iqc, llr, 20, method="minsum",
+                          msg_dtype=jnp.int8)
+    b = soft_bp_decode_irregular(code, llr, 20, method="minsum",
+                                 msg_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.error_totals),
+                                  np.asarray(b.error_totals))
+    assert int(a.iterations) == int(b.iterations)
+    np.testing.assert_array_equal(np.asarray(a.posterior),
+                                  np.asarray(b.posterior))
+
+
+@pytest.mark.parametrize("thresh", [None, 1])
+def test_irregular_qc_gallager_bit_exact(iqc, thresh):
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed_irregular)
+    from iib_project_ldpc_codes_tpu.ops.qc_gallager import (
+        qc_gallager_decode_packed)
+
+    code = iqc.expand()
+    received = bernoulli_packed(jax.random.key(52), 0.04, (iqc.n, 3))
+    a = qc_gallager_decode_packed(iqc, received, 15, threshold=thresh)
+    b = gallager_decode_packed_irregular(code, received, 15,
+                                         threshold=thresh)
+    np.testing.assert_array_equal(np.asarray(a.decided),
+                                  np.asarray(b.decided))
+    np.testing.assert_array_equal(np.asarray(a.error_totals),
+                                  np.asarray(b.error_totals))
+    assert int(a.iterations) == int(b.iterations)
+
+
+def test_irregular_qc_engine_bit_identical(iqc):
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BEC", channel_param=0.45, n=iqc.n,
+                           lam=LAM, rho=RHO, decoder="bp",
+                           iterations=30, num_tests=256, batch=128,
+                           max_block_errors=10 ** 9, seed=53,
+                           code_mode="fixed")
+    fast = run_simulation(cfg, code=iqc)
+    generic = run_simulation(cfg, code=iqc.expand())
+    assert fast.error_counts_per_iteration == \
+        generic.error_counts_per_iteration
+    assert fast.block_errors == generic.block_errors
