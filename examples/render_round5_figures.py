@@ -23,6 +23,7 @@ ROWS = [
     ("BEC packed BP\nn=1e4, w=768", 4.51, 4.84),
     ("BEC packed BP\nn=1e5, w=512", 2.83, 1.90),
     ("BEC packed BP\nn=1e6, w=48", 0.11, 2.70),
+    ("BEC irregular pair\nn=1e6, w=48", 0.07, 2.91),
     ("Gallager-A\nn=1e6, w=48", 0.06, 1.54),
     ("int8 min-sum\nn=1e6, B=128", 0.048, 0.092),
 ]
