@@ -29,20 +29,21 @@ from .qc_soft_bp import _row_offsets, _var_adjacency
 
 
 @partial(jax.jit, static_argnames=("chk_side", "var_side", "max_iters",
-                                   "threshold", "record"))
+                                   "threshold", "record", "clamped"))
 def _qc_gallager_core(received, tx_bits, chk_side, var_side, max_iters,
-                      threshold, record) -> GallagerResult:
+                      threshold, record, clamped) -> GallagerResult:
     nb = len(var_side)
     n, W = received.shape
     Z = n // nb
     channel = received.reshape(nb, Z, W)
     off, _ = _row_offsets(chk_side)
-    degrees = [len(sockets) for sockets in var_side]
-    regular = len(set(degrees)) == 1
-    # flip rules: regular bases match gallager_decode_packed verbatim
-    # (raw threshold, no clamp); irregular bases match
-    # gallager_decode_packed_irregular's per-degree clamp
-    if regular:
+    # flip rules by CODE TYPE (not inferred from the realized degree
+    # multiset -- a degree-uniform irregular base must still clamp like
+    # gallager_decode_packed_irregular, or an explicit threshold > d-1
+    # silently diverges from the expand() path): regular bases match
+    # gallager_decode_packed verbatim (raw threshold); irregular bases
+    # match the generic irregular per-degree clamp.
+    if not clamped:
         t_of = lambda d: (d - 1) if threshold is None else threshold
     elif threshold is None:
         t_of = lambda d: max(d - 1, 1)
@@ -73,7 +74,13 @@ def _qc_gallager_core(received, tx_bits, chk_side, var_side, max_iters,
                         for row, s in sockets]
             for p, (row, s) in enumerate(sockets):
                 others = [disagree[l] for l in range(d) if l != p]
-                flip = _bitsliced_count_ge(others, t_of(d))
+                if others:
+                    flip = _bitsliced_count_ge(others, t_of(d))
+                else:
+                    # degree-1 block (5G-NR parity-extension columns):
+                    # no extrinsic input, never flip (the generic
+                    # irregular rule for d-1 = 0 maskable counts)
+                    flip = jnp.zeros_like(channel[b])
                 out = channel[b] ^ flip
                 new_mvc[row] = jnp.roll(out, -s, axis=0)
             dec_flip = _bitsliced_count_ge(disagree, d // 2 + 1)
@@ -99,8 +106,14 @@ def qc_gallager_decode_packed(code: QCLDPCCode, received: jax.Array,
                               ) -> GallagerResult:
     """Roll-based :func:`..ops.gallager.gallager_decode_packed` for a
     QC code; ``received`` is uint32[n, W] packed hard-bit planes in the
-    expanded layout.  Bit-identical results (tests/test_qc.py)."""
+    expanded layout.  Bit-identical results (tests/test_qc.py): regular
+    bases (QCLDPCCode) follow gallager_decode_packed's raw-threshold
+    rule; irregular bases (IrregularQCLDPCCode) follow
+    gallager_decode_packed_irregular's per-degree clamp."""
+    from ..models.qc import IrregularQCLDPCCode
+
     chk_side, _ = _adjacency(code)
     var_side = _var_adjacency(code)
     return _qc_gallager_core(received, tx_bits, chk_side, var_side,
-                             max_iters, threshold, record)
+                             max_iters, threshold, record,
+                             isinstance(code, IrregularQCLDPCCode))

@@ -557,11 +557,11 @@ def make_chunk_fn(cfg: SimulationConfig, code: Optional[LDPCCode],
 
 def _make_qc_chunk_fn(cfg: SimulationConfig, code,
                       mesh: Optional[Mesh] = None):
-    """Roll-decoder chunk kernel for a fixed quasi-cyclic code (the
-    zero-transmit BEC+bp and soft-decoder cases -- the soft chunk draws
-    the same LLRs from the same key as _soft_chunk, so the int8 engine
-    path is bit-identical to running on expand()).  The QC code's
-    adjacency is STATIC (the
+    """Roll-decoder chunk kernel for a fixed quasi-cyclic code: the
+    zero-transmit BEC+bp, BSC+gallager, and int8-min-sum cases (the
+    soft chunk draws the same LLRs from the same key as _soft_chunk, so
+    the int8 engine path is bit-identical to running on expand()).
+    The QC code's adjacency is STATIC (the
     rolls' shifts must be compile-time constants), so the code is
     closed over rather than traced; the compile cache keys on the
     adjacency tuples, which fully determine the code.  With a mesh, the

@@ -468,3 +468,45 @@ def test_irregular_qc_engine_bit_identical(iqc):
     assert fast.error_counts_per_iteration == \
         generic.error_counts_per_iteration
     assert fast.block_errors == generic.block_errors
+
+
+def test_irregular_qc_gallager_degree_one_and_uniform_base():
+    """Round-5 review regressions: (a) degree-1 variable blocks (5G
+    parity-extension columns) must decode, matching the generic
+    irregular kernel; (b) a degree-UNIFORM irregular base with an
+    explicit threshold > d-1 must use the irregular clamp rule, not the
+    regular raw rule."""
+    from iib_project_ldpc_codes_tpu.models.qc import IrregularQCLDPCCode
+    from iib_project_ldpc_codes_tpu.ops.gallager import (
+        gallager_decode_packed_irregular)
+    from iib_project_ldpc_codes_tpu.ops.qc_gallager import (
+        qc_gallager_decode_packed)
+
+    # (a) hand-built base with a degree-1 block (block 3)
+    base = jnp.asarray([[0, 1, 2], [0, 1, 3]], jnp.int32)
+    sh = jnp.asarray([[0, 1, 2], [3, 0, 1]], jnp.int32)
+    iqc = IrregularQCLDPCCode(base_chk=base, shifts=sh, Z=8, nb=4, mb=2)
+    received = bernoulli_packed(jax.random.key(60), 0.1, (iqc.n, 2))
+    a = qc_gallager_decode_packed(iqc, received, 10)
+    b = gallager_decode_packed_irregular(iqc.expand(), received, 10)
+    np.testing.assert_array_equal(np.asarray(a.decided),
+                                  np.asarray(b.decided))
+    np.testing.assert_array_equal(np.asarray(a.error_totals),
+                                  np.asarray(b.error_totals))
+
+    # (b) degree-uniform irregular base (every block degree 2),
+    # threshold > d-1: the clamp must engage like the generic kernel's
+    base2 = jnp.asarray([[0, 1, 2, 3], [0, 2, 4, 5],
+                         [1, 3, 4, 5]], jnp.int32)
+    sh2 = jnp.asarray([[0, 1, 2, 3], [1, 2, 3, 0],
+                       [2, 3, 0, 1]], jnp.int32)
+    iqc2 = IrregularQCLDPCCode(base_chk=base2, shifts=sh2, Z=8, nb=6,
+                               mb=3)
+    received2 = bernoulli_packed(jax.random.key(61), 0.1, (iqc2.n, 2))
+    a2 = qc_gallager_decode_packed(iqc2, received2, 10, threshold=3)
+    b2 = gallager_decode_packed_irregular(iqc2.expand(), received2, 10,
+                                          threshold=3)
+    np.testing.assert_array_equal(np.asarray(a2.decided),
+                                  np.asarray(b2.decided))
+    np.testing.assert_array_equal(np.asarray(a2.error_totals),
+                                  np.asarray(b2.error_totals))
