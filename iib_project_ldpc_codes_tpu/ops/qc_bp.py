@@ -53,6 +53,11 @@ def _adjacency(code) -> Tuple[tuple, tuple]:
         tuple((int(base[c, j]), int(sh[c, j])) for j in range(dcb)
               if base[c, j] < code.nb)
         for c in range(mb))
+    for c, sockets in enumerate(chk_side):
+        if not sockets:
+            # degenerate input (samplers never produce it); the roll
+            # kernels index row 0 of each check's socket list
+            raise ValueError(f"base check {c} has no real sockets")
     return chk_side, code.nb
 
 
