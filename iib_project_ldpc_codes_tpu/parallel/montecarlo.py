@@ -574,9 +574,13 @@ def _make_qc_chunk_fn(cfg: SimulationConfig, code,
     pair = (cfg.channel, cfg.decoder)
     n_dev = 1 if mesh is None else mesh.size
     words = cfg.batch // 32 // n_dev
-    static_key = ("qc", chk_side, code.Z, cfg.n, words, cfg.iterations,
-                  pair, cfg.soft_msg_dtype, cfg.minsum_alpha,
-                  cfg.minsum_beta, cfg.gallager_threshold, mesh)
+    # type(code) is part of the key: a regular and an irregular QC code
+    # with coincident adjacency decode Gallager differently (raw vs
+    # clamped threshold rule)
+    static_key = ("qc", type(code).__name__, chk_side, code.Z, cfg.n,
+                  words, cfg.iterations, pair, cfg.soft_msg_dtype,
+                  cfg.minsum_alpha, cfg.minsum_beta,
+                  cfg.gallager_threshold, mesh)
     jitted = _CHUNK_CACHE.get(static_key)
     if jitted is None:
         def local_chunk(key, channel_param):
