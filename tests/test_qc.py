@@ -510,3 +510,43 @@ def test_irregular_qc_gallager_degree_one_and_uniform_base():
                                   np.asarray(b2.decided))
     np.testing.assert_array_equal(np.asarray(a2.error_totals),
                                   np.asarray(b2.error_totals))
+
+
+def test_qc_engine_bsc_int8_bit_identical(qc):
+    """The remaining fast-path gate cell: BSC channel + int8 min-sum."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig(channel="BSC", channel_param=0.06, n=qc.n,
+                           dv=3, dc=6, decoder="minsum",
+                           soft_msg_dtype="int8", iterations=15,
+                           num_tests=128, batch=128,
+                           max_block_errors=10 ** 9, seed=37,
+                           code_mode="fixed")
+    fast = run_simulation(cfg, code=qc)
+    generic = run_simulation(cfg, code=qc.expand())
+    assert fast.error_counts_per_iteration == \
+        generic.error_counts_per_iteration
+    assert fast.bit_errors == generic.bit_errors
+
+
+def test_irregular_qc_engine_gallager_bit_identical(iqc):
+    """The irregular-QC Gallager engine contract the round-5 review
+    probed: fast path == expand() path, whole-run, with and without an
+    explicit (clamped) threshold."""
+    from iib_project_ldpc_codes_tpu.parallel.montecarlo import run_simulation
+    from iib_project_ldpc_codes_tpu.utils.config import SimulationConfig
+
+    for thresh in (None, 3):
+        cfg = SimulationConfig(channel="BSC", channel_param=0.04,
+                               n=iqc.n, lam=LAM, rho=RHO,
+                               decoder="gallager",
+                               gallager_threshold=thresh, iterations=15,
+                               num_tests=128, batch=128,
+                               max_block_errors=10 ** 9, seed=41,
+                               code_mode="fixed")
+        fast = run_simulation(cfg, code=iqc)
+        generic = run_simulation(cfg, code=iqc.expand())
+        assert fast.error_counts_per_iteration == \
+            generic.error_counts_per_iteration, thresh
+        assert fast.bit_errors == generic.bit_errors, thresh
