@@ -73,3 +73,33 @@ def load_code(path: str) -> LDPCCode:
     z = np.load(path)
     return code_from_checks(jnp.asarray(z["chk_to_var"]), n=int(z["n"]),
                             dv=int(z["dv"]), dc=int(z["dc"]))
+
+
+def save_qc_code(code, path: str) -> None:
+    """Persist a quasi-cyclic code (regular QCLDPCCode or
+    IrregularQCLDPCCode) as base table + shifts + lift size -- the
+    compact form standards publish (a few KB regardless of n)."""
+    from .qc import IrregularQCLDPCCode
+
+    np.savez_compressed(
+        path, base_chk=np.asarray(code.base_chk),
+        shifts=np.asarray(code.shifts), Z=code.Z, nb=code.nb,
+        irregular=isinstance(code, IrregularQCLDPCCode),
+        mb=getattr(code, "mb", 0),
+        dv=getattr(code, "dv", 0), dc=getattr(code, "dc", 0))
+
+
+def load_qc_code(path: str):
+    import jax.numpy as jnp
+
+    from .qc import IrregularQCLDPCCode, QCLDPCCode
+
+    z = np.load(path)
+    base = jnp.asarray(z["base_chk"])
+    shifts = jnp.asarray(z["shifts"])
+    if bool(z["irregular"]):
+        return IrregularQCLDPCCode(base_chk=base, shifts=shifts,
+                                   Z=int(z["Z"]), nb=int(z["nb"]),
+                                   mb=int(z["mb"]))
+    return QCLDPCCode(base_chk=base, shifts=shifts, Z=int(z["Z"]),
+                      nb=int(z["nb"]), dv=int(z["dv"]), dc=int(z["dc"]))

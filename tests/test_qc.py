@@ -550,3 +550,20 @@ def test_irregular_qc_engine_gallager_bit_identical(iqc):
         assert fast.error_counts_per_iteration == \
             generic.error_counts_per_iteration, thresh
         assert fast.bit_errors == generic.bit_errors, thresh
+
+
+def test_qc_store_roundtrip(tmp_path, qc, iqc):
+    """QC persistence: base+shifts form (KBs at any n), both classes."""
+    from iib_project_ldpc_codes_tpu.models.store import (load_qc_code,
+                                                         save_qc_code)
+
+    for code in (qc, iqc):
+        p = str(tmp_path / f"{type(code).__name__}.npz")
+        save_qc_code(code, p)
+        loaded = load_qc_code(p)
+        assert type(loaded) is type(code)
+        assert loaded.Z == code.Z and loaded.n == code.n
+        np.testing.assert_array_equal(np.asarray(loaded.base_chk),
+                                      np.asarray(code.base_chk))
+        np.testing.assert_array_equal(np.asarray(loaded.shifts),
+                                      np.asarray(code.shifts))
