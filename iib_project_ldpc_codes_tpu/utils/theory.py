@@ -1330,3 +1330,87 @@ def optimize_lambda_awgn_for_rate(rho, dv_max: int, target_rate: float,
         else:
             hi = mid
     return best, lo
+
+
+# ---------------------------------------------------------------------------
+# Protograph (P-EXIT) density evolution -- the theory behind QC lifts.
+#
+# Per-EDGE DE on a base graph is exact for the Z -> infinity ensemble of
+# random-permutation lifts (the lifted local tree is the base's
+# universal cover), and the governing limit for the circulant lifts in
+# models/qc.py: round-5 measurements (docs/VALIDATION.md "base-size
+# law") show the lifted waterfall follows the BASE graph's threshold,
+# not the unstructured (lambda, rho) ensemble's, with the gap closing
+# as the base grows.
+# ---------------------------------------------------------------------------
+
+def protograph_de(base_chk, nb: int, erasure_prob: float,
+                  max_iterations: int = 10_000,
+                  tolerance: float = 1e-9):
+    """Per-edge BEC density evolution on a base graph.
+
+    ``base_chk`` is an [mb, dcb(_max)] check->variable-block table
+    (entries >= nb = padding, skipped -- both QCLDPCCode.base_chk and
+    IrregularQCLDPCCode.base_chk work directly).  Returns the vector of
+    per-edge variable->check erasure probabilities at the fixed point
+    (all ~0 iff decodable).
+
+      x_e = eps * prod_{e' in v(e), e' != e} y_{e'}
+      y_e = 1 - prod_{e' in c(e), e' != e} (1 - x_{e'})
+    """
+    import numpy as np
+
+    base = np.asarray(base_chk)
+    edges = [(c, int(base[c, j]))
+             for c in range(base.shape[0])
+             for j in range(base.shape[1]) if base[c, j] < nb]
+    E = len(edges)
+    chk_edges = {}
+    var_edges = {}
+    for e, (c, v) in enumerate(edges):
+        chk_edges.setdefault(c, []).append(e)
+        var_edges.setdefault(v, []).append(e)
+    x = np.full(E, float(erasure_prob))
+    for _ in range(max_iterations):
+        # check -> variable
+        y = np.empty(E)
+        for c, es in chk_edges.items():
+            prod_all = np.prod([1.0 - x[e] for e in es])
+            for e in es:
+                rest = prod_all / (1.0 - x[e]) if x[e] < 1.0 else \
+                    np.prod([1.0 - x[o] for o in es if o != e])
+                y[e] = 1.0 - rest
+        # variable -> check
+        new_x = np.empty(E)
+        for v, es in var_edges.items():
+            for e in es:
+                others = np.prod([y[o] for o in es if o != e])
+                new_x[e] = erasure_prob * others
+        if np.max(np.abs(new_x - x)) < tolerance * 1e-3:
+            x = new_x
+            break
+        x = new_x
+    return x
+
+
+def protograph_threshold(base_chk, nb: int, precision: float = 1e-5,
+                         tolerance: float = 1e-6) -> float:
+    """BP threshold of the Z->infinity lift of a base graph (bisection
+    over :func:`protograph_de`).
+
+    A regular base reproduces eps*(dv, dc) exactly (its universal cover
+    is the regular tree); small irregular bases come out BELOW the
+    unstructured (lambda, rho) ensemble threshold -- the frozen base
+    connectivity is a constraint, quantifying round 5's measured
+    base-size law.
+    """
+    lo, hi = 0.0, 1.0
+    while hi - lo > precision:
+        mid = 0.5 * (lo + hi)
+        x = protograph_de(base_chk, nb, mid, max_iterations=5_000,
+                          tolerance=tolerance)
+        if float(x.max()) < tolerance:
+            lo = mid
+        else:
+            hi = mid
+    return lo

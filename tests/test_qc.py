@@ -567,3 +567,30 @@ def test_qc_store_roundtrip(tmp_path, qc, iqc):
                                       np.asarray(code.base_chk))
         np.testing.assert_array_equal(np.asarray(loaded.shifts),
                                       np.asarray(code.shifts))
+
+
+def test_protograph_de_threshold_anchors(qc):
+    """P-EXIT density evolution on base graphs (theory.protograph_*):
+    a regular base reproduces eps*(3,6); the round-5 irregular bases'
+    thresholds quantify the measured base-size law (nb=24 -> 0.449,
+    explaining the measured FER=0.997 at eps=0.45; nb=240 -> 0.451;
+    ensemble limit 0.4526)."""
+    from iib_project_ldpc_codes_tpu.models.qc import (
+        sample_qc_code_irregular)
+    from iib_project_ldpc_codes_tpu.utils import theory
+
+    t_reg = theory.protograph_threshold(qc.base_chk, qc.nb)
+    assert abs(t_reg - theory.calc_threshold(3, 6)) < 2e-4
+
+    iqc24 = sample_qc_code_irregular(jax.random.key(0), nb=24, lam=LAM,
+                                     rho=RHO, Z=8)
+    t24 = theory.protograph_threshold(iqc24.base_chk, 24)
+    iqc240 = sample_qc_code_irregular(jax.random.key(0), nb=240,
+                                      lam=LAM, rho=RHO, Z=8)
+    t240 = theory.protograph_threshold(iqc240.base_chk, 240)
+    t_inf = theory.irregular_threshold(LAM, RHO, 1e-6)
+    assert 0.44 < t24 < t240 < t_inf
+    assert abs(t24 - 0.4491) < 2e-3   # pins the measured-law anchor
+    # the measured n=1e6 lifted waterfalls bracket their base
+    # thresholds: nb=24 fails at 0.45 (> t24), decodes at 0.43 (< t24)
+    assert t24 < 0.45 and t24 > 0.43
