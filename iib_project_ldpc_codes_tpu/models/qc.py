@@ -197,3 +197,35 @@ def sample_qc_code(key: jax.Array, nb: int, dv: int, dc: int, Z: int,
     shifts = jax.random.randint(k_shift, base.shape, 0, Z, jnp.int32)
     return QCLDPCCode(base_chk=base, shifts=shifts, Z=Z, nb=nb,
                       dv=dv, dc=dc)
+
+
+def design_protograph(key: jax.Array, nb: int, lam, rho, Z: int,
+                      tries: int = 32, method: str = "repair"):
+    """Pick the best of ``tries`` sampled irregular bases by their
+    P-EXIT threshold (utils.theory.protograph_threshold -- the exact
+    Z->infinity lift threshold), then attach shifts.
+
+    Small random protographs scatter well below the (lam, rho)
+    ensemble threshold (round-5 measured law: a random nb=24 base sits
+    at 0.449 vs the ensemble's 0.4526); this rejection design recovers
+    most of the gap at protograph scale, the same workflow standards
+    use (their bases are hand-optimised).  Returns
+    ``(IrregularQCLDPCCode, threshold)``.
+    """
+    from ..utils.theory import protograph_threshold
+    from .irregular import IrregularEnsembleSpec
+
+    spec = IrregularEnsembleSpec.from_lam_rho(nb, lam, rho)
+    k_design, k_shift = jax.random.split(key)
+    best, best_t = None, -1.0
+    for k in jax.random.split(k_design, tries):
+        base = spec.sample(k, method)
+        base_chk = np.asarray(base.chk_to_var)[:-1]
+        t = protograph_threshold(base_chk, nb, precision=1e-4)
+        if t > best_t:
+            best, best_t = base_chk, t
+    shifts = jax.random.randint(k_shift, best.shape, 0, Z, jnp.int32)
+    shifts = jnp.where(jnp.asarray(best) < nb, shifts, 0)
+    code = IrregularQCLDPCCode(base_chk=jnp.asarray(best), shifts=shifts,
+                               Z=Z, nb=nb, mb=int(best.shape[0]))
+    return code, best_t

@@ -594,3 +594,27 @@ def test_protograph_de_threshold_anchors(qc):
     # the measured n=1e6 lifted waterfalls bracket their base
     # thresholds: nb=24 fails at 0.45 (> t24), decodes at 0.43 (< t24)
     assert t24 < 0.45 and t24 > 0.43
+
+
+def test_design_protograph_beats_default_base():
+    """Rejection design over P-EXIT thresholds: the designed nb=24 base
+    must beat the single-sample default and stay below the ensemble
+    limit."""
+    from iib_project_ldpc_codes_tpu.models.qc import (
+        design_protograph, sample_qc_code_irregular)
+    from iib_project_ldpc_codes_tpu.utils import theory
+
+    default = sample_qc_code_irregular(jax.random.key(0), nb=24,
+                                       lam=LAM, rho=RHO, Z=8)
+    t_default = theory.protograph_threshold(default.base_chk, 24)
+    designed, t_designed = design_protograph(jax.random.key(1), nb=24,
+                                             lam=LAM, rho=RHO, Z=8,
+                                             tries=12)
+    t_inf = theory.irregular_threshold(LAM, RHO, 1e-6)
+    assert t_designed >= t_default
+    assert t_designed <= t_inf + 1e-3
+    # the designed object decodes (sanity through the roll kernel)
+    erased = bernoulli_packed(jax.random.key(2), 0.3,
+                              (designed.n, 2))
+    res = qc_bp_decode_packed_allzero(designed, erased, 30)
+    assert int(res.error_totals[-1]) < int(res.error_totals[0])
